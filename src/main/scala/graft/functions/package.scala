@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+import org.apache.spark.sql.graftinternal.Shim
+
+/** Column-level API over the engine's custom Catalyst expressions —
+  * the `org.apache.spark.sql.functions`-style surface of the library.
+  */
+package object functions {
+
+  /** RFC 3986 canonical form of `url` resolved against canonical `base`
+    * (null base = absolute URLs only). Null for invalid / non-http(s). */
+  def canonicalize_url(url: Column, base: Column): Column =
+    Shim.col(CanonicalizeUrl(Shim.expr(url), Shim.expr(base)))
+
+  def canonicalize_url(url: Column): Column =
+    canonicalize_url(url, lit(null: String))
+
+  /** Links found in a text span, in document order (PINNED grammar). */
+  def extract_urls(text: Column): Column =
+    Shim.col(ExtractUrls(Shim.expr(text)))
+
+  /** Host component of a canonical URL. */
+  def host_of(canonicalUrl: Column): Column =
+    Shim.col(HostOf(Shim.expr(canonicalUrl)))
+
+  /** Path component of a canonical URL. */
+  def path_of(canonicalUrl: Column): Column =
+    Shim.col(PathOf(Shim.expr(canonicalUrl)))
+
+  /** 64-bit URL identity: Spark's built-in xxhash64 (seed 42) of the
+    * canonical form — BASELINE.json:6 "RFC 3986 normalize + xxHash64". */
+  def url_hash(canonicalUrl: Column): Column = xxhash64(canonicalUrl)
+
+  /** Skew-spreading salt in [0, k) for hot hosts (BASELINE.json:14). */
+  def url_salt(canonicalUrl: Column, k: Int): Column =
+    pmod(xxhash64(canonicalUrl), lit(k.toLong))
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.urls.{UrlCanon, UrlExtract}
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlCanonSpec extends AnyFunSuite {
+
+  // RFC 3986 §5.4 reference-resolution examples (public standard vectors)
+  val base = "http://a/b/c/d;p?q"
+  val rfc5_4: Seq[(String, String)] = Seq(
+    "g" -> "http://a/b/c/g",
+    "./g" -> "http://a/b/c/g",
+    "g/" -> "http://a/b/c/g/",
+    "/g" -> "http://a/g",
+    "//g" -> "http://g/",
+    "?y" -> "http://a/b/c/d;p?y",
+    "g?y" -> "http://a/b/c/g?y",
+    ";x" -> "http://a/b/c/;x",
+    "g;x" -> "http://a/b/c/g;x",
+    "" -> "http://a/b/c/d;p?q",
+    "." -> "http://a/b/c/",
+    "./" -> "http://a/b/c/",
+    ".." -> "http://a/b/",
+    "../" -> "http://a/b/",
+    "../g" -> "http://a/b/g",
+    "../.." -> "http://a/",
+    "../../" -> "http://a/",
+    "../../g" -> "http://a/g",
+    // abnormal examples (§5.4.2)
+    "../../../g" -> "http://a/g",
+    "../../../../g" -> "http://a/g",
+    "/./g" -> "http://a/g",
+    "/../g" -> "http://a/g",
+    "g." -> "http://a/b/c/g.",
+    ".g" -> "http://a/b/c/.g",
+    "g.." -> "http://a/b/c/g..",
+    "..g" -> "http://a/b/c/..g",
+    "./../g" -> "http://a/b/g",
+    "./g/." -> "http://a/b/c/g/",
+    "g/./h" -> "http://a/b/c/g/h",
+    "g/../h" -> "http://a/b/c/h",
+    "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+    "g;x=1/../y" -> "http://a/b/c/y",
+  )
+
+  test("RFC 3986 §5.4 resolution vectors") {
+    rfc5_4.foreach { case (ref, expected) =>
+      assert(UrlCanon.canonicalize(ref, base) == expected, s"ref=$ref")
+    }
+  }
+
+  test("fragments are stripped during resolution") {
+    assert(UrlCanon.canonicalize("g#s", base) == "http://a/b/c/g")
+    assert(UrlCanon.canonicalize("g?y#s", base) == "http://a/b/c/g?y")
+    assert(UrlCanon.canonicalize("#s", base) == "http://a/b/c/d;p?q")
+  }
+
+  test("case + port + percent normalization (§6.2.2)") {
+    assert(UrlCanon.canonicalize("HTTPS://ExAmPle.COM:443/a/./b/../c") == "https://example.com/a/c")
+    assert(UrlCanon.canonicalize("http://example.com:80/x") == "http://example.com/x")
+    assert(UrlCanon.canonicalize("http://example.com:8080/x") == "http://example.com:8080/x")
+    assert(UrlCanon.canonicalize("http://example.com/%7Euser") == "http://example.com/~user")
+    assert(UrlCanon.canonicalize("http://example.com/%7euser") == "http://example.com/~user")
+    assert(UrlCanon.canonicalize("http://example.com/a%2fb") == "http://example.com/a%2Fb")
+    assert(UrlCanon.canonicalize("http://example.com/%70age") == "http://example.com/page")
+    assert(UrlCanon.canonicalize("http://example.com") == "http://example.com/")
+    assert(UrlCanon.canonicalize("http://example.com?q=1") == "http://example.com/?q=1")
+    assert(UrlCanon.canonicalize("http://example.com/x?") == "http://example.com/x")
+  }
+
+  test("invalid / non-http(s) rejected") {
+    assert(UrlCanon.canonicalize("ftp://example.com/x") == null)
+    assert(UrlCanon.canonicalize("mailto:a@b.c") == null)
+    assert(UrlCanon.canonicalize("javascript:void(0)") == null)
+    assert(UrlCanon.canonicalize("http://") == null)
+    assert(UrlCanon.canonicalize(null) == null)
+    assert(UrlCanon.canonicalize("/rel/only") == null) // no base
+  }
+
+  test("canonicalize is idempotent on corpus-shaped URLs (seeded property)") {
+    val rng = new java.util.Random(7)
+    val schemes = Array("http", "https", "HTTPS", "HTTP")
+    val extras = Array("", "/x/../", "/./", "/a/b/../")
+    val queries = Array("", "?a=1&b=2", "?z%2f", "?%7e")
+    (0 until 5000).foreach { _ =>
+      val u = s"${schemes(rng.nextInt(4))}://Host${rng.nextInt(400)}.example" +
+        s"${extras(rng.nextInt(4))}/p${rng.nextInt(99999)}${queries(rng.nextInt(4))}"
+      val c1 = UrlCanon.canonicalize(u)
+      assert(c1 != null, u)
+      assert(UrlCanon.canonicalize(c1) == c1, s"not idempotent: $u -> $c1")
+    }
+  }
+
+  test("hostOf / pathOf on canonical forms") {
+    assert(UrlCanon.hostOf("https://h.example/p/q?x") == "h.example")
+    assert(UrlCanon.hostOf("https://u@h.example:8443/p") == "h.example")
+    assert(UrlCanon.pathOf("https://h.example/p/q?x") == "/p/q")
+    assert(UrlCanon.pathOf("https://h.example") == "/")
+  }
+
+  test("extraction grammar: absolute, href, relative, trailing punctuation, order") {
+    val text =
+      """intro https://a.example/p1. then <a href="https://b.example/p2">x</a> """ +
+        """and <a href="/rel/p3">y</a> tail HTTP://C.Example/p4, done"""
+    val links = UrlExtract.extract(text).toSeq
+    assert(links == Seq("https://a.example/p1", "https://b.example/p2", "/rel/p3", "HTTP://C.Example/p4"))
+  }
+
+  test("extraction does not double-count an absolute URL inside href") {
+    val text = """<a href="https://a.example/p1">x</a>"""
+    assert(UrlExtract.extract(text).toSeq == Seq("https://a.example/p1"))
+  }
+
+  test("extraction handles empty/null") {
+    assert(UrlExtract.extract(null).isEmpty)
+    assert(UrlExtract.extract("no links here").isEmpty)
+  }
+}
