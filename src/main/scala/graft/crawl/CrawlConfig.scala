@@ -1,0 +1,29 @@
+package graft.crawl
+
+/** Tunables of the crawl (BASELINE.json:6,14). All semantics that depend
+  * on these are PINNED identically in the engine and the sequential
+  * oracle (SURVEY.md §0). */
+final case class CrawlConfig(
+  /** Links discovered deeper than this are never enqueued (P2). */
+  maxDepth: Int = 10,
+  /** Per-host fetch cap per round; overflow carries to the next round (W2). */
+  perHostPerRound: Int = 50,
+  /** Total fetch budget across the crawl; truncation follows the global
+    * crawl order (O2) [PINNED: discovered links of the final truncated
+    * round still enter the seen set, like the reference's
+    * seen-at-enqueue semantics]. */
+  totalBudget: Long = Long.MaxValue,
+  /** Crawl delay for hosts without a robots crawl_delay_ms. */
+  defaultDelayMs: Long = 0L,
+  /** Seen-set shard count P: bloom shards + pmod(url_hash, P) layout. */
+  partitions: Int = 32,
+  /** Expected insertions per bloom shard (sized for the tier). */
+  bloomShardCapacity: Long = 200000L,
+  bloomFpp: Double = 0.01,
+  /** Bloom prefilter before the exact anti-join (J1 two-phase). */
+  useBloom: Boolean = true,
+  /** Use the skew-safe two-phase scheduler (explicit salting path). */
+  saltedScheduler: Boolean = true,
+  /** Use the typed per-host heap (Q1) instead of the window scheduler
+    * (W1); results must be identical — tests assert it. */
+  typedHeapScheduler: Boolean = false)

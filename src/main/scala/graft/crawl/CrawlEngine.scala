@@ -1,0 +1,312 @@
+package graft.crawl
+
+import graft.corpus.CorpusGen
+import graft.functions.{canonicalize_url, extract_urls, host_of}
+import graft.plans.GlobalOrder
+import graft.urls.{RobotsMatch, UrlCanon}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The crawl driver loop (SURVEY.md §3 E1) — PyCrawler's fetch-parse-
+  * extract loop re-expressed as batch-iterative Dataset rounds:
+  *
+  * frontier_R → robots filter → per-host politeness schedule → simulated
+  * fetch (hosting join) → span emission → link extraction + RFC 3986
+  * canonicalization → intra-round dedup → two-phase seen-set anti-join →
+  * frontier_{R+1}; every round commits an Iceberg-style snapshot
+  * (frontier, seen delta, fetch log, bloom shards, host-ready state,
+  * per-partition lineage + metrics) and the next round reads it back —
+  * breaking lineage (the iterative-Spark plan-explosion fix) and making
+  * the run resumable from any committed round (BASELINE.json:14).
+  *
+  * All ordering choices ([PINNED], SURVEY.md §0) are mirrored exactly by
+  * the sequential oracle in the test tree; `sbt -batch test` asserts
+  * crawl order, final seen set and span sequences are identical.
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    fixtureDir: String,
+    snapshotRoot: String,
+    cfg: CrawlConfig = CrawlConfig()) {
+
+  import spark.implicits._
+
+  val store = new SnapshotStore(snapshotRoot)
+
+  // ---- static inputs (read once, partitioned once, reused every round) --
+
+  /** Simulated web: canonical URL hash → (host, doc, status). Persisted
+    * pre-partitioned by page_hash so every round's fetch join reuses the
+    * same exchange. */
+  private lazy val hosting: DataFrame =
+    CorpusGen.hosting(spark, fixtureDir)
+      .repartition(cfg.partitions, col("page_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The interleaved corpus (the binding input table, BASELINE.json:15). */
+  private lazy val docs: DataFrame =
+    CorpusGen.interleaved(spark, fixtureDir)
+      .repartition(cfg.partitions, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** robots rules are tiny (≤ hosts × rules/host) — collected once and
+    * broadcast; the allow decision is Google-style longest-prefix-match
+    * (graft.urls.RobotsMatch, shared with the oracle). */
+  private lazy val (rulesByHost, delayByHost): (Map[String, Array[(Boolean, String)]], Map[String, Long]) = {
+    val rules = CorpusGen.robots(spark, fixtureDir)
+      .select("host", "allow", "path_prefix", "crawl_delay_ms")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getLong(3)))
+    val byHost = rules.groupBy(_._1).map { case (h, rs) =>
+      h -> rs.map(r => (r._2, r._3))
+    }
+    val delays = rules.groupBy(_._1).map { case (h, rs) => h -> rs.map(_._4).max }
+    (byHost, delays)
+  }
+
+  // ---- public API ------------------------------------------------------
+
+  /** Fresh crawl from the seed list; wipes any previous snapshots. */
+  def runFresh(maxRounds: Int = Int.MaxValue): CrawlSummary = {
+    store.wipe()
+    initRound0()
+    loop(maxRounds)
+  }
+
+  /** Resume from the last committed snapshot (BASELINE.json:14). */
+  def resume(maxRounds: Int = Int.MaxValue): CrawlSummary = loop(maxRounds)
+
+  /** Full crawl order: the fetch log of all committed rounds, in global
+    * (round, fetch_ts, host, url_hash) order == seq order. */
+  def fetchLog(): DataFrame = {
+    val rounds = store.committedRounds().filter(r =>
+      new java.io.File(store.fetchLogPath(r)).exists)
+    if (rounds.isEmpty) return spark.emptyDataFrame
+    spark.read.parquet(rounds.map(store.fetchLogPath): _*)
+  }
+
+  /** The authoritative (exact) seen set: union of committed deltas. */
+  def seen(): DataFrame = {
+    val rounds = store.committedRounds()
+    spark.read.parquet(rounds.map(store.seenDeltaPath): _*)
+  }
+
+  /** Ordered span sequences of every fetched ok document — the
+    * byte-for-byte output invariant (BASELINE.json:15). */
+  def spansEmitted(): DataFrame =
+    fetchLog().filter(col("status") === "ok")
+      .select("doc_id")
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(col("spans")))
+      .select(col("doc_id"), col("pos").as("span_idx"),
+        col("col.kind").as("kind"), col("col.text").as("text"),
+        col("col.media_ref").as("media_ref"), col("col.offset").as("offset"))
+
+  // ---- round 0 ---------------------------------------------------------
+
+  private def initRound0(): Unit = {
+    val seeds = CorpusGen.seeds(spark, fixtureDir)
+      .select(canonicalize_url(col("url_canon")).as("url_canon"))
+      .withColumn("url_hash", xxhash64(col("url_canon")))
+      .withColumn("host", host_of(col("url_canon")))
+      .withColumn("depth", lit(0))
+    seeds.write.mode("overwrite").parquet(store.frontierPath(0))
+    val delta = spark.read.parquet(store.frontierPath(0))
+      .select(col("url_hash"), col("url_canon"), lit(0).as("first_round"))
+    delta.write.mode("overwrite").parquet(store.seenDeltaPath(0))
+    val blooms = BloomShards.empty(cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
+    SeenSet.addToShards(spark, delta.select("url_hash"), blooms,
+      cfg.bloomShardCapacity, cfg.bloomFpp)
+    blooms.writeTo(store.bloomsPath(0))
+    store.writeHostReady(0, Map.empty)
+    val nSeeds = delta.count()
+    val lineage = bucketCounts(delta)
+    store.commit(store.entryJson(0, -1,
+      Map("frontier" -> nSeeds, "seen_delta" -> nSeeds, "fetchlog" -> 0L),
+      lineage, Map("fetched_total" -> 0.0)))
+  }
+
+  private def bucketCounts(df: DataFrame): Seq[Long] = {
+    val m = df.groupBy(pmod(col("url_hash"), lit(cfg.partitions.toLong)).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until cfg.partitions).map(i => m.getOrElse(i.toLong, 0L))
+  }
+
+  // ---- the loop --------------------------------------------------------
+
+  private def loop(maxRounds: Int): CrawlSummary = {
+    var round = store.lastCommitted().getOrElse(
+      throw new IllegalStateException("no committed snapshot to resume from"))
+    var hostReady = store.readHostReady(round)
+    var blooms =
+      if (cfg.useBloom) Some(BloomShards.readFrom(store.bloomsPath(round))) else None
+    var fetchedSoFar = store.readManifest()
+      .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
+        .get("fetched_total").asInstanceOf[Number].longValue())
+      .lastOption.getOrElse(0L)
+    var roundsRun = 0
+
+    while (roundsRun < maxRounds && fetchedSoFar < cfg.totalBudget && step()) {
+      roundsRun += 1
+    }
+
+    def step(): Boolean = {
+      val t0 = System.nanoTime()
+      val frontier = spark.read.parquet(store.frontierPath(round))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (frontier.isEmpty) { frontier.unpersist(); return false }
+
+      // P4: robots filter — longest-prefix-match over broadcast rules
+      val rulesB = spark.sparkContext.broadcast(rulesByHost)
+      val allowedUdf = udf { (host: String, url: String) =>
+        RobotsMatch.allows(
+          rulesB.value.getOrElse(host, Array.empty[(Boolean, String)]).toSeq,
+          UrlCanon.pathOf(url))
+      }
+      val withAllowed = frontier
+        .withColumn("__allowed", allowedUdf(col("host"), col("url_canon")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val allowed = withAllowed.filter(col("__allowed")).drop("__allowed")
+      val deniedCount = withAllowed.filter(!col("__allowed")).count()
+
+      // W1/Q1: politeness schedule
+      val hostMeta = hostMetaDf(hostReady)
+      val schedAll = (
+        if (cfg.typedHeapScheduler)
+          Scheduler.typedHeap(spark, allowed, delayByHost, hostReady, cfg.defaultDelayMs)
+        else if (cfg.saltedScheduler)
+          Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs)
+        else
+          Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+      val carried = schedAll.filter(col("rn") > cfg.perHostPerRound)
+        .select("url_canon", "url_hash", "host", "depth")
+      val withinHostCap = schedAll.filter(col("rn") <= cfg.perHostPerRound)
+
+      // O1/O2: global crawl order + budget truncation (scalable two-phase seq)
+      val sched = GlobalOrder.withSeq(withinHostCap,
+          Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
+        .filter(col("seq") <= cfg.totalBudget)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val schedCount = sched.count()
+      if (schedCount == 0L) {
+        frontier.unpersist(); withAllowed.unpersist(); schedAll.unpersist(); sched.unpersist()
+        return false
+      }
+
+      // J3: simulated fetch
+      val fetched = sched.join(
+          hosting.select(col("page_hash"), col("doc_id"), col("status")),
+          sched("url_hash") === col("page_hash"), "left")
+        .drop("page_hash")
+        .withColumn("status", coalesce(col("status"), lit("missing")))
+        .withColumn("doc_id", coalesce(col("doc_id"), lit("")))
+        .withColumn("round", lit(round))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val statusCounts = fetched.groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
+      val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
+      val links = okDocs
+        .join(docs, Seq("doc_id"))
+        .select(col("seq"), col("url_canon").as("base_url"), col("depth"),
+          posexplode(col("spans")).as(Seq("span_idx", "span")))
+        .filter(col("span.kind") === "text")
+        .select(col("seq"), col("base_url"), col("depth"),
+          col("span_idx"), posexplode(extract_urls(col("span.text"))).as(Seq("link_pos", "raw")))
+        .withColumn("link_canon", canonicalize_url(col("raw"), col("base_url")))
+        .filter(col("link_canon").isNotNull)
+        .filter(col("depth") + 1 <= cfg.maxDepth)
+
+      // J5: intra-round dedup — first discovery wins
+      // [PINNED: min (seq, span_idx, link_pos)]
+      val cand = links
+        .withColumn("url_hash", xxhash64(col("link_canon")))
+        .groupBy(col("url_hash"))
+        .agg(min(struct(col("seq"), col("span_idx"), col("link_pos"),
+          col("link_canon"), col("depth"))).as("f"))
+        .select(col("url_hash"), col("f.link_canon").as("url_canon"),
+          host_of(col("f.link_canon")).as("host"),
+          (col("f.depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candCount = cand.count()
+
+      // J1: two-phase seen-set dedup (bloom prefilter + exact anti-join)
+      val newUrls = SeenSet.newUrls(spark, cand, seen(), blooms)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // ---- commit round R+1 snapshot ----
+      val next = round + 1
+      fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
+          "rn", "fetch_ts", "status", "doc_id")
+        .write.mode("overwrite").parquet(store.fetchLogPath(round))
+
+      val delta = newUrls
+        .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
+      delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
+      val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
+      val newCount = deltaBack.count()
+
+      // next frontier: carried entries keep their depth; new URLs get the
+      // depth recorded at discovery
+      val nextFrontier = carried.unionByName(
+        newUrls.select("url_canon", "url_hash", "host", "depth"))
+      nextFrontier.write.mode("overwrite").parquet(store.frontierPath(next))
+      val carriedCount = spark.read.parquet(store.frontierPath(next)).count() - newCount
+
+      blooms.foreach { b =>
+        SeenSet.addToShards(spark, deltaBack.select("url_hash"), b,
+          cfg.bloomShardCapacity, cfg.bloomFpp)
+        b.writeTo(store.bloomsPath(next))
+      }
+
+      // host-ready advance: ready' = ready + fetched_this_round * delay
+      val perHostFetched = sched.groupBy("host").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      hostReady = hostReady ++ perHostFetched.map { case (h, cnt) =>
+        val d = delayByHost.getOrElse(h, cfg.defaultDelayMs)
+        h -> (hostReady.getOrElse(h, 0L) + cnt * d)
+      }
+      store.writeHostReady(next, hostReady)
+
+      fetchedSoFar += schedCount
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      val metrics = Map(
+        "fetched_total" -> fetchedSoFar.toDouble,
+        "scheduled" -> schedCount.toDouble,
+        "fetched_ok" -> statusCounts.getOrElse("ok", 0L).toDouble,
+        "fetched_404" -> statusCounts.getOrElse("404", 0L).toDouble,
+        "fetched_missing" -> statusCounts.getOrElse("missing", 0L).toDouble,
+        "robots_denied" -> deniedCount.toDouble,
+        "candidates" -> candCount.toDouble,
+        "new_urls" -> newCount.toDouble,
+        "carried" -> carriedCount.toDouble,
+        "round_sec" -> elapsedSec,
+        "urls_per_sec" -> ((schedCount + candCount) / math.max(elapsedSec, 1e-9)))
+      store.commit(store.entryJson(next, round,
+        Map("frontier" -> (carriedCount + newCount), "seen_delta" -> newCount,
+          "fetchlog" -> schedCount),
+        bucketCounts(deltaBack), metrics))
+
+      Seq(frontier, withAllowed, schedAll, sched, fetched, cand, newUrls)
+        .foreach(_.unpersist())
+      round = next
+      true
+    }
+
+    CrawlSummary(round, fetchedSoFar, seen().count(), snapshotRoot)
+  }
+
+  private def hostMetaDf(hostReady: Map[String, Long]): DataFrame = {
+    val rows = delayByHost.keySet.union(hostReady.keySet).toSeq.sorted.map { h =>
+      (h, delayByHost.getOrElse(h, cfg.defaultDelayMs), hostReady.getOrElse(h, 0L))
+    }
+    rows.toDF("host", "delay_ms", "ready_ts")
+  }
+}
+
+final case class CrawlSummary(rounds: Int, totalFetched: Long, totalSeen: Long, snapshotRoot: String)

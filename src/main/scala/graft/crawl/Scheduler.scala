@@ -1,0 +1,94 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-host politeness scheduling (SURVEY.md §2.5 W1 / §2.9 Q1).
+  *
+  * Within a round, each host's candidate URLs are ordered by
+  * (depth asc, url_hash asc) [PINNED priority = depth] and the k-th URL
+  * of host h virtually fetches at `ready(h) + (k-1) * delay(h)` — the
+  * set-at-a-time re-expression of the reference's min-heap + sleep loop
+  * keyed by (host, next-fetch-time, depth/priority) (BASELINE.json:6).
+  *
+  * Three interchangeable implementations (tests assert identical output):
+  *  - `window`: single `row_number` over (host) — simplest plan.
+  *  - `salted`: two-phase rank over (host, depth) + cumulative offsets —
+  *    the explicit skew path (BASELINE.json:14): a Zipf-hot host no longer
+  *    lands in one task, because depth (the leading order key) sub-splits
+  *    the partition; offsets are computed distributedly, nothing collects.
+  *  - `typedHeap`: `groupByKey(host).flatMapGroups` with an in-memory
+  *    priority queue — the reference's data structure, kept as the
+  *    fidelity oracle for the window forms.
+  *
+  * Input columns: url_canon, url_hash, host, depth.
+  * hostMeta columns: host, delay_ms, ready_ts.
+  * Output: input + rn (1-based per-host rank) + fetch_ts.
+  */
+object Scheduler {
+
+  final case class FrontierRow(url_canon: String, url_hash: Long, host: String, depth: Int)
+  final case class ScheduledRow(url_canon: String, url_hash: Long, host: String, depth: Int,
+    rn: Int, fetch_ts: Long)
+
+  private def withMeta(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame =
+    df.join(broadcast(hostMeta), Seq("host"), "left")
+      .withColumn("__delay", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("__ready", coalesce(col("ready_ts"), lit(0L)))
+      .drop("delay_ms", "ready_ts")
+
+  private def finish(df: DataFrame): DataFrame =
+    df.withColumn("fetch_ts", col("__ready") + (col("rn").cast("long") - 1L) * col("__delay"))
+      .drop("__delay", "__ready")
+
+  def window(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame = {
+    val w = Window.partitionBy("host").orderBy(col("depth"), col("url_hash"))
+    finish(withMeta(df, hostMeta, defaultDelayMs).withColumn("rn", row_number().over(w)))
+  }
+
+  def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame = {
+    // phase 1: rank within (host, depth) — the skewed host splits across
+    // its depths, so no single task owns a hot host
+    val wFine = Window.partitionBy("host", "depth").orderBy(col("url_hash"))
+    val fine = withMeta(df, hostMeta, defaultDelayMs)
+      .withColumn("__rnd", row_number().over(wFine))
+    // phase 2: per-(host, depth) cumulative offsets, computed distributedly
+    // (≤ maxDepth rows per host — trivially balanced)
+    val wOfs = Window.partitionBy("host").orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy("host", "depth").count()
+      .withColumn("__offset", coalesce(sum("count").over(wOfs), lit(0L)))
+      .select(col("host"), col("depth"), col("__offset"))
+    finish(
+      fine.join(offsets, Seq("host", "depth"))
+        .withColumn("rn", (col("__offset") + col("__rnd")).cast("int"))
+        .drop("__rnd", "__offset"))
+  }
+
+  /** Q1 — the reference's per-host min-heap, typed. Identical output to
+    * `window` by construction (heap key = (depth, url_hash)). */
+  def typedHeap(spark: SparkSession, df: DataFrame,
+                delayOf: Map[String, Long], readyOf: Map[String, Long],
+                defaultDelayMs: Long): DataFrame = {
+    import spark.implicits._
+    val delayB = spark.sparkContext.broadcast(delayOf)
+    val readyB = spark.sparkContext.broadcast(readyOf)
+    val ds: Dataset[FrontierRow] =
+      df.select("url_canon", "url_hash", "host", "depth").as[FrontierRow]
+    ds.groupByKey(_.host)
+      .flatMapGroups { (host, it) =>
+        implicit val ord: Ordering[FrontierRow] =
+          Ordering.by[FrontierRow, (Int, Long)](r => (r.depth, r.url_hash)).reverse
+        val heap = scala.collection.mutable.PriorityQueue.empty[FrontierRow]
+        it.foreach(heap.enqueue(_))
+        val delay = delayB.value.getOrElse(host, defaultDelayMs)
+        val ready = readyB.value.getOrElse(host, 0L)
+        Iterator.tabulate(heap.size) { i =>
+          val r = heap.dequeue()
+          ScheduledRow(r.url_canon, r.url_hash, r.host, r.depth, i + 1, ready + i.toLong * delay)
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.crawl
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot layer over Parquet (SURVEY.md §0, §2.1 S3):
+  * no Iceberg runtime jar exists in this sandbox, so the engine provides
+  * its own immutable-data-files + manifest-log table format delivering the
+  * north_rule's requirements (BASELINE.json:14): atomic per-round commits,
+  * resume from any committed snapshot, per-partition lineage and metrics.
+  *
+  * Layout under `root`:
+  * {{{
+  *   manifest.jsonl          one JSON object per committed round (append-only,
+  *                           atomically replaced via temp-file + rename)
+  *   round=R/frontier/       parquet — the frontier entering round R
+  *   round=R/seen_delta/     parquet — url hashes first seen in round R-1's
+  *                           expansion (round 0 delta = the seed list)
+  *   round=R/fetchlog/       parquet — fetches performed in round R
+  *   round=R/blooms.bin      serialized bloom shards as of round R
+  *   round=R/hostready.json  per-host virtual ready time entering round R
+  * }}}
+  *
+  * A round is visible iff its manifest line is present; partially-written
+  * round directories without a manifest line are ignored on resume (the
+  * atomic-commit contract).
+  */
+final class SnapshotStore(val root: String) {
+
+  private val mapper = new ObjectMapper()
+
+  def manifestPath: Path = Paths.get(root, "manifest.jsonl")
+  def roundDir(r: Int): String = s"$root/round=$r"
+  def frontierPath(r: Int): String = s"${roundDir(r)}/frontier"
+  def seenDeltaPath(r: Int): String = s"${roundDir(r)}/seen_delta"
+  def fetchLogPath(r: Int): String = s"${roundDir(r)}/fetchlog"
+  def bloomsPath(r: Int): String = s"${roundDir(r)}/blooms.bin"
+  def hostReadyPath(r: Int): Path = Paths.get(roundDir(r), "hostready.json")
+
+  def wipe(): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    val p = Paths.get(root)
+    if (Files.exists(p)) rm(p)
+  }
+
+  /** Rounds with a committed manifest line, ascending. */
+  def committedRounds(): Seq[Int] = {
+    if (!Files.exists(manifestPath)) return Seq.empty
+    Files.readAllLines(manifestPath).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map(l => mapper.readTree(l).get("round").asInt())
+  }
+
+  def lastCommitted(): Option[Int] = committedRounds().lastOption
+
+  def readManifest(): Seq[Map[String, Any]] = {
+    if (!Files.exists(manifestPath)) return Seq.empty
+    Files.readAllLines(manifestPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      mapper.readValue(l, classOf[java.util.Map[String, Any]]).asScala.toMap
+    }
+  }
+
+  /** Atomic append: rewrite manifest to temp + rename. Single-FS rename is
+    * the same atomicity primitive Iceberg's HadoopTableOperations uses. */
+  def commit(entryJson: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val existing =
+      if (Files.exists(manifestPath))
+        new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      else ""
+    val tmp = Paths.get(root, s".manifest.tmp")
+    Files.write(tmp, (existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def writeHostReady(r: Int, ready: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(roundDir(r)))
+    val m = new java.util.LinkedHashMap[String, Long]()
+    ready.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    Files.write(hostReadyPath(r), mapper.writeValueAsBytes(m))
+  }
+
+  def readHostReady(r: Int): Map[String, Long] = {
+    if (!Files.exists(hostReadyPath(r))) return Map.empty
+    mapper.readValue(hostReadyPath(r).toFile, classOf[java.util.Map[String, Number]])
+      .asScala.map { case (k, v) => k -> v.longValue() }.toMap
+  }
+
+  /** Serialize one manifest entry. `lineage` carries per-partition
+    * (pmod(url_hash, P) bucket) row counts of the seen delta —
+    * BASELINE.json:14 "per-partition lineage + metrics". */
+  def entryJson(round: Int, parent: Int, rows: Map[String, Long],
+                lineage: Seq[Long], metrics: Map[String, Double]): String = {
+    val node = mapper.createObjectNode()
+    node.put("round", round)
+    node.put("parent", parent)
+    val rowsNode = node.putObject("rows")
+    rows.toSeq.sortBy(_._1).foreach { case (k, v) => rowsNode.put(k, v) }
+    val lin = node.putArray("seen_delta_partition_rows")
+    lineage.foreach(lin.add)
+    val met = node.putObject("metrics")
+    metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+}

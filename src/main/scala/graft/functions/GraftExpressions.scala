@@ -39,7 +39,8 @@ case class CanonicalizeUrl(left: Expression, right: Expression)
         UTF8String ${ev.value} = null;
         if (!${l.isNull}) {
           ${r.code}
-          UTF8String $baseVar = ${r.isNull} ? null : ${r.value};
+          UTF8String $baseVar = null;
+          if (!${r.isNull}) { $baseVar = (UTF8String) (Object) ${r.value}; }
           ${ev.value} = graft.functions.GraftRT.canonUTF8(${l.value}, $baseVar);
           ${ev.isNull} = ${ev.value} == null;
         }

@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
 import org.apache.spark.sql.graftinternal.Shim
+import org.apache.spark.sql.types.StringType
 
 /** Column-level API over the engine's custom Catalyst expressions —
   * the `org.apache.spark.sql.functions`-style surface of the library.
@@ -15,7 +17,7 @@ package object functions {
     Shim.col(CanonicalizeUrl(Shim.expr(url), Shim.expr(base)))
 
   def canonicalize_url(url: Column): Column =
-    canonicalize_url(url, lit(null: String))
+    Shim.col(CanonicalizeUrl(Shim.expr(url), Literal.create(null, StringType)))
 
   /** Links found in a text span, in document order (PINNED grammar). */
   def extract_urls(text: Column): Column =

@@ -1,0 +1,137 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.oracle.CrawlOracle
+
+class CrawlEngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val fixtureDir: String = CorpusGen.ensure(spark, CorpusGen.Smoke)
+  lazy val corpus: CorpusGen.Corpus = CorpusGen.build(CorpusGen.Smoke)
+
+  val cfg: CrawlConfig = CrawlConfig(
+    maxDepth = 10, perHostPerRound = 25, partitions = 8,
+    bloomShardCapacity = 50000L)
+
+  private def snapDir(name: String) = s"target/test-snapshots/$name"
+
+  private def collectLog(e: CrawlEngine) =
+    e.fetchLog().select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn", "fetch_ts", "status", "doc_id")
+      .as[(Long, String, Long, String, Int, Int, Int, Long, String, String)]
+      .collect().sortBy(_._1).toVector
+
+  private def collectSeen(e: CrawlEngine) =
+    e.seen().select("url_hash", "url_canon", "first_round")
+      .as[(Long, String, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+  lazy val oracleResult = new CrawlOracle(corpus, cfg).run()
+  lazy val engine: CrawlEngine = {
+    val e = new CrawlEngine(spark, fixtureDir, snapDir("main"), cfg)
+    e.runFresh()
+    e
+  }
+
+  test("crawl order equals the sequential oracle exactly") {
+    val got = collectLog(engine)
+    val want = oracleResult.log.map(f =>
+      (f.seq, f.urlCanon, f.urlHash, f.host, f.depth, f.round, f.rn, f.fetchTs, f.status, f.docId))
+    assert(got.size == want.size, s"sizes: got=${got.size} want=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"\n got=$g\nwant=$w") }
+  }
+
+  test("final URL-seen set equals the oracle exactly (incl. first_round)") {
+    val got = collectSeen(engine)
+    val want = oracleResult.seen
+    assert(got.keySet == want.keySet,
+      s"only-engine=${(got.keySet -- want.keySet).take(5)} only-oracle=${(want.keySet -- got.keySet).take(5)}")
+    got.foreach { case (h, v) => assert(v == want(h), s"hash=$h got=$v want=${want(h)}") }
+  }
+
+  test("span sequences are byte-for-byte equal to the oracle (kind, text, media_ref, order)") {
+    val got = engine.spansEmitted()
+      .as[(String, Int, String, String, String, Int)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val want = new CrawlOracle(corpus, cfg).spansEmitted(oracleResult)
+      .sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
+  test("crawl visits a nontrivial graph (sanity)") {
+    // smoke universe is ~500 pages; most must be reached and fetched
+    assert(oracleResult.log.size > 350, s"only ${oracleResult.log.size} fetches")
+    assert(oracleResult.seen.size >= oracleResult.log.size)
+    assert(oracleResult.rounds >= 5)
+    val statuses = oracleResult.log.map(_.status).toSet
+    assert(statuses == Set("ok", "404"), statuses.toString)
+  }
+
+  test("politeness: per-host fetch_ts gaps respect crawl_delay within a round") {
+    val byHostRound = oracleResult.log.groupBy(f => (f.host, f.round))
+    val delayOf = corpus.rules.groupBy(_.host).map { case (h, rs) => h -> rs.map(_.crawl_delay_ms).max }
+    byHostRound.foreach { case ((host, _), fs) =>
+      val ts = fs.sortBy(_.rn).map(_.fetchTs)
+      ts.zip(ts.drop(1)).foreach { case (a, b) =>
+        assert(b - a == delayOf(host), s"host=$host gap=${b - a}")
+      }
+    }
+  }
+
+  test("resume from a mid-crawl snapshot yields the identical final state") {
+    val e1 = new CrawlEngine(spark, fixtureDir, snapDir("resume"), cfg)
+    e1.runFresh(maxRounds = 2)
+    val e2 = new CrawlEngine(spark, fixtureDir, snapDir("resume"), cfg)
+    e2.resume()
+    assert(collectLog(e2) == collectLog(engine))
+    assert(collectSeen(e2) == collectSeen(engine))
+  }
+
+  test("window, salted, and typed-heap schedulers produce identical crawls") {
+    val eWindow = new CrawlEngine(spark, fixtureDir, snapDir("window"),
+      cfg.copy(saltedScheduler = false))
+    eWindow.runFresh()
+    assert(collectLog(eWindow) == collectLog(engine))
+
+    val eHeap = new CrawlEngine(spark, fixtureDir, snapDir("heap"),
+      cfg.copy(typedHeapScheduler = true))
+    eHeap.runFresh()
+    assert(collectLog(eHeap) == collectLog(engine))
+  }
+
+  test("bloom prefilter changes nothing (exactness) and blooms have no false negatives") {
+    val eNoBloom = new CrawlEngine(spark, fixtureDir, snapDir("nobloom"),
+      cfg.copy(useBloom = false))
+    eNoBloom.runFresh()
+    assert(collectSeen(eNoBloom) == collectSeen(engine))
+    assert(collectLog(eNoBloom) == collectLog(engine))
+  }
+
+  test("budget truncation matches the oracle (discovered-but-unfetched still seen)") {
+    val bcfg = cfg.copy(totalBudget = 100L)
+    val eB = new CrawlEngine(spark, fixtureDir, snapDir("budget"), bcfg)
+    eB.runFresh()
+    val oB = new CrawlOracle(corpus, bcfg).run()
+    val got = collectLog(eB)
+    assert(got.size == 100)
+    assert(got.map(_._2) == oB.log.map(_.urlCanon))
+    assert(collectSeen(eB).keySet == oB.seen.keySet)
+  }
+
+  test("robots: no fetched URL is disallowed, and some were denied") {
+    val fetchedPaths = oracleResult.log.map(f => graft.urls.UrlCanon.pathOf(f.urlCanon))
+    assert(fetchedPaths.forall(!_.startsWith("/blocked")))
+    // at least one blocked page was discovered (is in seen) but never fetched
+    val blockedSeen = oracleResult.seen.values.exists(_._1.contains("/blocked"))
+    assert(blockedSeen, "corpus should discover at least one robots-blocked URL")
+  }
+
+  test("snapshot manifest carries lineage and metrics per round") {
+    val manifest = engine.store.readManifest()
+    assert(manifest.size >= 5)
+    manifest.foreach { entry =>
+      assert(entry.contains("seen_delta_partition_rows"))
+      assert(entry.contains("metrics"))
+    }
+  }
+}
