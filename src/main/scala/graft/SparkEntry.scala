@@ -1,13 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CrawlOps, Relational, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data pipeline ops), each with a DuckDB
+  * oracle where the semantics are SQL-expressible; the crawl itself
+  * (q09) and the LSH-ANN variant (q29) are covered by the sequential
+  * oracle / recall assertions in the ScalaTest suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full crawl on the smoke tier; rows = fetch log. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CrawlOps.queries("q09_crawl")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CrawlOps.queries ++ Relational.queries ++ TextOps.queries ++ VectorOps.queries
+
+  def oracleSql: Map[String, String] =
+    CrawlOps.oracle ++ Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.corpus.CorpusGen
+import graft.crawl.{BloomShards, CrawlConfig, CrawlEngine, Scheduler, SeenSet}
+import graft.functions.{canonicalize_url, host_of, path_of}
+import graft.plans.GlobalOrder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-domain operators exposed through the driver contract, over the
+  * deterministic fixture corpus (generated on demand into
+  * target/fixtures/<tier>; the DuckDB oracle reads the same parquet via
+  * read_parquet on the correctness-tier path — Verify always runs at
+  * sf0.01, TESTDATA.md:17-18).
+  */
+object CrawlOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Correctness-tier fixture dir, hardcoded in oracle SQL (Verify runs
+    * only at sf0.01). */
+  private val FX = "/root/repo/target/fixtures/sf0.01"
+
+  private def fx(s: SparkSession, dir: String): String = CorpusGen.ensureFor(s, dir)
+
+  def crawlConfigFor(partitions: Int): CrawlConfig =
+    CrawlConfig(maxDepth = 10, perHostPerRound = 50, partitions = partitions,
+      bloomShardCapacity = 100000L)
+
+  val queries: Map[String, Q] = Map(
+
+    // S1/P1/S4: interleaved scan + ordered span projection (nested pruning)
+    "q01_spans" -> ((s, dir) => {
+      CorpusGen.interleaved(s, fx(s, dir))
+        .select(col("doc_id"), posexplode(col("spans")))
+        .select(col("doc_id"), col("pos").as("span_idx"),
+          col("col.kind").as("kind"), col("col.media_ref").as("media_ref"),
+          col("col.offset").as("offset"), md5(col("col.text")).as("text_md5"))
+        .orderBy("doc_id", "span_idx")
+    }),
+
+    // X2/X3: canonicalization idempotence + xxhash64 identity vs the
+    // hosting index (engine recomputes both from a case-mangled form)
+    "q02_canonicalize" -> ((s, dir) => {
+      CorpusGen.hosting(s, fx(s, dir))
+        .select(canonicalize_url(regexp_replace(col("url_canon"), "^https", "HTTPS"))
+          .as("url_canon"))
+        .withColumn("url_hash", xxhash64(col("url_canon")))
+        .orderBy("url_canon")
+    }),
+
+    // A1/X4: per-host page stats off recomputed hashes
+    "q03_host_stats" -> ((s, dir) => {
+      CorpusGen.hosting(s, fx(s, dir))
+        .groupBy("host")
+        .agg(countDistinct(xxhash64(col("url_canon"))).as("n_pages"),
+          sum(when(col("status") === "404", 1L).otherwise(0L)).as("n_404"))
+        .orderBy("host")
+    }),
+
+    // P4/J2/X6: robots disallow filter (broadcast join + prefix match)
+    "q04_robots_filter" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val hosting = CorpusGen.hosting(s, d)
+      val disallow = CorpusGen.robots(s, d).filter(!col("allow"))
+        .select(col("host").as("r_host"), col("path_prefix"))
+      hosting
+        .join(broadcast(disallow),
+          col("host") === col("r_host") &&
+            path_of(col("url_canon")).startsWith(col("path_prefix")),
+          "left_anti")
+        .select("url_canon")
+        .orderBy("url_canon")
+    }),
+
+    // W1/W2: per-host politeness schedule as one round over all pages
+    "q05_politeness" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val delays = CorpusGen.robots(s, d).groupBy("host")
+        .agg(max("crawl_delay_ms").as("delay_ms"))
+        .withColumn("ready_ts", lit(0L))
+      val frontier = CorpusGen.hosting(s, d)
+        .select(col("url_canon"), col("page_hash").as("url_hash"), col("host"), lit(0).as("depth"))
+      Scheduler.salted(frontier, delays, 0L)
+        .filter(col("rn") <= 50)
+        .select("url_canon", "host", "rn", "fetch_ts")
+        .orderBy("host", "rn")
+    }),
+
+    // O1: scalable deterministic global sequencing (two-phase rank)
+    "q06_global_order" -> ((s, dir) => {
+      GlobalOrder.withSeq(
+          CorpusGen.hosting(s, fx(s, dir)).select("url_canon", "host", "page_hash"),
+          Seq(col("host"), col("page_hash")), "seq")
+        .select("url_canon", "seq")
+        .orderBy("seq")
+    }),
+
+    // J1 exact tier: anti-join dedup against a synthetic seen set
+    "q07_seen_antijoin" -> ((s, dir) => {
+      val hosting = CorpusGen.hosting(s, fx(s, dir))
+        .select(col("url_canon"), col("page_hash").as("url_hash"))
+      val seen = hosting.filter(pmod(col("url_hash"), lit(4)) === 0).select("url_hash")
+      hosting.join(seen, Seq("url_hash"), "left_anti")
+        .select("url_canon")
+        .orderBy("url_canon")
+    }),
+
+    // J1 two-phase: bloom prefilter + exact anti-join — identical result
+    "q08_bloom_dedup" -> ((s, dir) => {
+      val hosting = CorpusGen.hosting(s, fx(s, dir))
+        .select(col("url_canon"), col("page_hash").as("url_hash"))
+      val seen = hosting.filter(pmod(col("url_hash"), lit(4)) === 0)
+        .select("url_hash").persist()
+      val blooms = BloomShards.empty(8, 200000L, 0.01)
+      SeenSet.addToShards(s, seen, blooms, 200000L, 0.01)
+      SeenSet.newUrls(s, hosting, seen, Some(blooms))
+        .select("url_canon")
+        .orderBy("url_canon")
+    }),
+
+    // E1 flagship: the full crawl; returns the global fetch log
+    "q09_crawl" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val tier = CorpusGen.tierFor(dir)
+      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions)
+      val engine = new CrawlEngine(s, d, s"target/crawl-run/${tier.name}", cfg)
+      engine.runFresh()
+      engine.fetchLog()
+        .select("seq", "url_canon", "host", "depth", "round", "fetch_ts", "status", "doc_id")
+        .orderBy("seq")
+    }),
+
+    // multimodal plumbing: media spans → deterministic stub decode
+    // (image/audio libs absent — the decode is a PINNED fake; schema,
+    // partitioning and batch shape are real)
+    "q30_multimodal" -> ((s, dir) => {
+      CorpusGen.interleaved(s, fx(s, dir))
+        .select(col("doc_id"), posexplode(col("spans")))
+        .select(col("doc_id"), col("pos").as("span_idx"),
+          col("col.kind").as("kind"), col("col.media_ref").as("media_ref"),
+          col("col.offset").as("offset"))
+        .filter(col("kind") =!= "text")
+        .withColumn("n", length(col("media_ref")) + col("offset"))
+        .withColumn("width", lit(64) + pmod(col("n"), lit(16)))
+        .withColumn("height", lit(64) + pmod(col("n") * 7, lit(16)))
+        .withColumn("feature_md5", md5(concat(
+          col("media_ref"), lit(":"),
+          col("width").cast("string"), lit("x"), col("height").cast("string"))))
+        .select("doc_id", "span_idx", "kind", "media_ref", "width", "height", "feature_md5")
+        .orderBy("doc_id", "span_idx")
+    }),
+
+    // A4/X5: hot-host detection + salt bucket assignment
+    "q32_hot_hosts" -> ((s, dir) => {
+      val counts = CorpusGen.hosting(s, fx(s, dir)).groupBy("host").count()
+        .withColumnRenamed("count", "n_urls")
+      val stats = counts.agg((sum("n_urls") * 1.0 / count(lit(1))).as("avg_urls"))
+      counts.crossJoin(broadcast(stats))
+        .withColumn("is_hot", col("n_urls") > col("avg_urls") * 5.0)
+        .withColumn("salt_buckets", ceil(col("n_urls") / 256.0).cast("int"))
+        .select("host", "n_urls", "is_hot", "salt_buckets")
+        .orderBy(col("n_urls").desc, col("host"))
+        .limit(25)
+    }),
+
+    // metrics rollup over fetch outcomes
+    "q33_status_rollup" -> ((s, dir) => {
+      CorpusGen.hosting(s, fx(s, dir))
+        .rollup("status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status").asc_nulls_first)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_spans" ->
+      s"""SELECT doc_id, span_idx, kind, media_ref, "offset", md5(text) AS text_md5 FROM (
+         | SELECT doc_id, CAST(generate_subscripts(spans, 1) - 1 AS INT) AS span_idx,
+         |        unnest(spans, recursive := true)
+         | FROM read_parquet('$FX/interleaved.parquet/*.parquet'))
+         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    "q02_canonicalize" ->
+      s"""SELECT url_canon, page_hash AS url_hash
+         |FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |ORDER BY url_canon""".stripMargin,
+
+    "q03_host_stats" ->
+      s"""SELECT host, CAST(COUNT(DISTINCT page_hash) AS BIGINT) AS n_pages,
+         | CAST(SUM(CASE WHEN status = '404' THEN 1 ELSE 0 END) AS BIGINT) AS n_404
+         |FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |GROUP BY host ORDER BY host""".stripMargin,
+
+    "q04_robots_filter" ->
+      s"""SELECT url_canon FROM read_parquet('$FX/hosting.parquet/*.parquet') h
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM read_parquet('$FX/robots.parquet/*.parquet') r
+         |  WHERE r.host = h.host AND NOT r.allow
+         |    AND starts_with(regexp_replace(h.url_canon, '^[a-z]+://[^/]+', ''), r.path_prefix))
+         |ORDER BY url_canon""".stripMargin,
+
+    "q05_politeness" ->
+      s"""WITH delays AS (
+         |  SELECT host, MAX(crawl_delay_ms) AS delay_ms
+         |  FROM read_parquet('$FX/robots.parquet/*.parquet') GROUP BY host)
+         |SELECT url_canon, h.host AS host, rn, CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_ts
+         |FROM (
+         |  SELECT url_canon, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY page_hash) AS INT) AS rn
+         |  FROM read_parquet('$FX/hosting.parquet/*.parquet')) h
+         |JOIN delays d ON d.host = h.host
+         |WHERE rn <= 50
+         |ORDER BY host, rn""".stripMargin,
+
+    "q06_global_order" ->
+      s"""SELECT url_canon,
+         | CAST(row_number() OVER (ORDER BY host, page_hash) AS BIGINT) AS seq
+         |FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |ORDER BY seq""".stripMargin,
+
+    "q07_seen_antijoin" ->
+      s"""SELECT url_canon FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |WHERE ((page_hash % 4) + 4) % 4 <> 0
+         |ORDER BY url_canon""".stripMargin,
+
+    "q08_bloom_dedup" ->
+      s"""SELECT url_canon FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |WHERE ((page_hash % 4) + 4) % 4 <> 0
+         |ORDER BY url_canon""".stripMargin,
+
+    "q30_multimodal" ->
+      s"""SELECT doc_id, span_idx, kind, media_ref,
+         | 64 + (n % 16) AS width, 64 + ((n * 7) % 16) AS height,
+         | md5(media_ref || ':' || CAST(64 + (n % 16) AS VARCHAR) || 'x'
+         |     || CAST(64 + ((n * 7) % 16) AS VARCHAR)) AS feature_md5
+         |FROM (
+         | SELECT doc_id, span_idx, kind, media_ref,
+         |        CAST(length(media_ref) + "offset" AS INT) AS n
+         | FROM (
+         |  SELECT doc_id, CAST(generate_subscripts(spans, 1) - 1 AS INT) AS span_idx,
+         |         unnest(spans, recursive := true)
+         |  FROM read_parquet('$FX/interleaved.parquet/*.parquet'))
+         | WHERE kind <> 'text')
+         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    "q32_hot_hosts" ->
+      s"""WITH counts AS (
+         |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls
+         |  FROM read_parquet('$FX/hosting.parquet/*.parquet') GROUP BY host),
+         |stats AS (SELECT SUM(n_urls) * 1.0 / COUNT(*) AS avg_urls FROM counts)
+         |SELECT host, n_urls, n_urls > avg_urls * 5.0 AS is_hot,
+         | CAST(ceil(n_urls / 256.0) AS INT) AS salt_buckets
+         |FROM counts, stats
+         |ORDER BY n_urls DESC, host LIMIT 25""".stripMargin,
+
+    "q33_status_rollup" ->
+      s"""SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |GROUP BY ROLLUP (status)
+         |ORDER BY status NULLS FIRST""".stripMargin,
+  )
+}

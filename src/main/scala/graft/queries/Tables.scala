@@ -1,0 +1,8 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

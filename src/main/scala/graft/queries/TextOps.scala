@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Training-data text pipeline ops over the `documents` table: token
+  * counting, quality scoring, language-ID heuristic, exact + MinHash/LSH +
+  * SimHash + n-gram-Jaccard deduplication, document fingerprinting.
+  *
+  * Every hash used here is md5 (not xxhash64) so the DuckDB oracle can
+  * reproduce it bit-for-bit; MinHash minimizes md5 hex strings
+  * lexicographically — an order-isomorphic substitute for integer
+  * min-hashing that both engines share exactly.
+  *
+  * The raw documents table has no duplicates, so the dedup queries append
+  * deterministic duplicate/near-duplicate rows inline (same formula in
+  * the SQL oracle): exact copies at doc_id+1000000 for doc_id % 10 == 0,
+  * tail-mutated copies at doc_id+2000000 for doc_id % 7 == 0.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** documents ∪ exact dups ∪ near dups (deterministic, mirrored in SQL). */
+  private def docsAugmented(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zz9 extra tail words")).as("text")))
+  }
+
+  private val docsAugmentedSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz9 extra tail words' AS text
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** k MinHash signatures as md5 hex strings (lexicographic min over
+    * word-3-shingles), concatenated with '|'. */
+  private def minhashSig(text: Column, k: Int): Column = {
+    val ws = words(text)
+    val n = size(ws)
+    val shingles = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array(concat_ws(" ", ws)))
+    val sigs = (0 until k).map { j =>
+      array_min(transform(shingles, sh => md5(concat(lit(s"$j|"), sh))))
+    }
+    concat_ws("|", sigs: _*)
+  }
+
+  private def minhashSigSql(k: Int): String = {
+    // expects CTE alias `sh(doc_id, shingles)`
+    (0 until k).map(j => s"list_min(list_transform(shingles, x -> md5('$j|' || x)))")
+      .mkString(" || '|' || ")
+  }
+
+  private val shinglesSqlCte: String =
+    """WITH d AS (%s),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM d),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [array_to_string(ws, ' ')] END AS shingles
+      | FROM w)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // token counting (whitespace + alnum-word grammar)
+    "q20_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
+          size(words(col("text"))).as("n_words"),
+          length(col("text")).as("n_chars_c"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: stopword ratio + length bucket
+    "q21_quality" -> ((s, dir) => {
+      val ws = words(col("text"))
+      val stops = size(filter(ws, w => w.isin("the", "a", "of", "and", "in")))
+      val nw = size(ws)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nw.as("n_words"), stops.as("n_stop"),
+          round(stops.cast("double") / greatest(nw, lit(1)), 4).as("stop_ratio"))
+        .withColumn("quality",
+          when(col("n_words") >= 20 && col("stop_ratio") <= 0.5, "ok").otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID: marker-stopword scores, argmax with pinned tie order
+    "q22_langid" -> ((s, dir) => {
+      val ws = words(col("text"))
+      def score(markers: Seq[String]) = size(filter(ws, w => w.isin(markers: _*)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          score(Seq("the", "and", "of", "is")).as("s_en"),
+          score(Seq("der", "die", "und", "das")).as("s_de"),
+          score(Seq("el", "la", "que", "los")).as("s_es"),
+          score(Seq("le", "les", "des", "est")).as("s_fr"))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: hash-groupBy, first doc_id wins
+    "q23_exact_dedup" -> ((s, dir) => {
+      docsAugmented(s, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .orderBy("text_md5")
+    }),
+
+    // MinHash signatures (k=8) over word-3-shingles
+    "q24_minhash" -> ((s, dir) => {
+      docsAugmented(s, dir)
+        .select(col("doc_id"), minhashSig(col("text"), 8).as("minhash"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding (4 bands × 2 rows) → candidate pairs →
+    // verified by word-set Jaccard ≥ 0.5
+    "q25_lsh_pairs" -> ((s, dir) => {
+      val base = docsAugmented(s, dir)
+      val ws = words(col("text"))
+      val sigged = base.select(col("doc_id"), array_distinct(ws).as("wset"),
+        split(minhashSig(col("text"), 8), "\\|").as("sigs"))
+      val banded = sigged.select(col("doc_id"), col("wset"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          md5(concat(element_at(col("sigs"), b * 2 + 1), element_at(col("sigs"), b * 2 + 2)))))
+          .as(Seq("band_id", "band_key")))
+      val a = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_a"), col("wset").as("wset_a"))
+      val b = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_b"), col("wset").as("wset_b"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "wset_a", "wset_b").distinct()
+        .withColumn("jaccard", round(
+          size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
+            size(array_union(col("wset_a"), col("wset_b"))), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash (32-bit, md5-derived word hashes, multiset weighting)
+    "q26_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+        .withColumn("c", when(expr("(shiftright(h, i) & 1)") === 1, 1L).otherwise(-1L))
+        .groupBy("doc_id", "i")
+        .agg(sum(col("c")).as("cnt"))
+        .withColumn("bitval", when(col("cnt") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum(col("bitval")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard similarity between successive docs
+    "q27_jaccard_neighbors" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+      val a = d.select(col("doc_id").as("doc_a"), col("wset").as("wa"))
+      val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("wset").as("wb"))
+      a.join(b, Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"), round(
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    // document fingerprint: md5 over the sorted distinct word set
+    "q31_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(sort_array(array_distinct(words(col("text")))), " ")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
+        | CAST(length(text) AS INT) AS n_chars_c
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_quality" ->
+      """SELECT doc_id, n_words, n_stop, stop_ratio,
+        | CASE WHEN n_words >= 20 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) AS INT) AS n_stop,
+        |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) * 1.0
+        |        / greatest(len(ws), 1), 4) AS stop_ratio
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_langid" ->
+      """SELECT doc_id, s_en, s_de, s_es, s_fr,
+        | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','and','of','is'))) AS INT) AS s_en,
+        |  CAST(len(list_filter(ws, w -> w IN ('der','die','und','das'))) AS INT) AS s_de,
+        |  CAST(len(list_filter(ws, w -> w IN ('el','la','que','los'))) AS INT) AS s_es,
+        |  CAST(len(list_filter(ws, w -> w IN ('le','les','des','est'))) AS INT) AS s_fr
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_exact_dedup" ->
+      s"""SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+         | CAST(COUNT(*) AS BIGINT) AS dup_count
+         |FROM ($docsAugmentedSql)
+         |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+    "q24_minhash" ->
+      (shinglesSqlCte.format(docsAugmentedSql) +
+        s"\nSELECT doc_id, ${minhashSigSql(8)} AS minhash FROM sh ORDER BY doc_id"),
+
+    "q25_lsh_pairs" ->
+      (shinglesSqlCte.format(docsAugmentedSql) +
+        """,
+          |sig AS (SELECT doc_id, list_transform(range(0, 8),
+          |   j -> list_min(list_transform(shingles, x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS sigs
+          | FROM sh),
+          |wsets AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
+          | FROM (%s)),
+          |banded AS (SELECT doc_id, b AS band_id, md5(sigs[2*b+1] || sigs[2*b+2]) AS band_key
+          | FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          | FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+          | WHERE a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b,
+          | round(len(list_intersect(wa.wset, wb.wset)) * 1.0
+          |       / len(list_distinct(wa.wset || wb.wset)), 4) AS jaccard
+          |FROM pairs JOIN wsets wa ON wa.doc_id = doc_a JOIN wsets wb ON wb.doc_id = doc_b
+          |WHERE round(len(list_intersect(wa.wset, wb.wset)) * 1.0
+          |       / len(list_distinct(wa.wset || wb.wset)), 4) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin.format(docsAugmentedSql)),
+
+    "q26_simhash" ->
+      """SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM (
+        | SELECT doc_id, i,
+        |  CASE WHEN SUM(c) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS bitval
+        | FROM (
+        |  SELECT doc_id, i, CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END AS c
+        |  FROM (
+        |   SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+        |   FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |         FROM documents)),
+        |   UNNEST(range(0, 32)) AS t(i))
+        | GROUP BY doc_id, i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q27_jaccard_neighbors" ->
+      """WITH d AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(len(list_intersect(a.wset, b.wset)) * 1.0
+        |       / len(list_distinct(a.wset || b.wset)), 4) AS jaccard
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Similarity search over the embeddings table (Array[Float], dim 64):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path (buckets
+  * bound the candidate set; at 100 TB the bucket join replaces the
+  * all-pairs cross join, trading recall for a ~2^bits candidate
+  * reduction — recall is asserted in LshAnnSpec).
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** 16-bit random-hyperplane signature; plane weights are md5-derived
+    * (deterministic, identical across engines and runs). */
+  def rhpSignature(vec: Column, bits: Int): Column = {
+    val sig = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+          x * (pmod(conv(substring(md5(concat(lit(p + "_"), d.cast("string"))), 1, 6), 16, 10)
+            .cast("long"), lit(1001L)).cast("double") - 500.0) / 500.0),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    sig.reduce(_ + _)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q28_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      q.join(emb, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos4"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN: same queries, candidates restricted to the
+    // query's hyperplane bucket (no oracle — recall asserted in tests)
+    "q29_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("sig", rhpSignature(col("v"), 6))
+      val q = emb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("sig"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      q.join(emb, Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos4"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // vector stats via higher-order functions (fully SQL-checkable)
+    "q34_embedding_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("vec_id")).as("n_vecs"),
+          min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim"))
+        .orderBy("label")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q28_cosine_topk" ->
+      """SELECT query_id, rank, neighbor_id, cos4 FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+        |             e.vec_id ASC) AS INT) AS rank,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos4
+        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        | WHERE q.vec_id % 40 = 0)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q34_embedding_stats" ->
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        | CAST(MIN(len(embedding)) AS INT) AS min_dim,
+        | CAST(MAX(len(embedding)) AS INT) AS max_dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
