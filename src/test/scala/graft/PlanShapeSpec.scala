@@ -1,0 +1,88 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.Scheduler
+import graft.plans.GlobalOrder
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY.md §5.5): pushdown, pruning, broadcast,
+  * partitioning topology — the things that decide whether the same plan
+  * survives a 100× scale-up. */
+class PlanShapeSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push down to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("nested schema pruning reaches into the spans array") {
+    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val df = CorpusGen.interleaved(spark, fx)
+      .select(col("doc_id"), explode(col("spans.kind")).as("kind"))
+      .filter(col("kind") === "text")
+    val p = plan(df)
+    assert(p.contains("kind") && !p.contains("media_ref"),
+      s"spans should be pruned to kind only:\n$p")
+  }
+
+  test("q11 uses a broadcast hash join") {
+    val p = plan(SparkEntry.queries("q11_join_revenue")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q14 anti join and q15 semi join use the right join types") {
+    assert(plan(SparkEntry.queries("q14_antijoin_customers")(spark, dir)).contains("LeftAnti"))
+    assert(plan(SparkEntry.queries("q15_semijoin_customers")(spark, dir)).contains("LeftSemi"))
+  }
+
+  test("salted scheduler partitions by (host, depth) — no single hot-host task") {
+    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val frontier = CorpusGen.hosting(spark, fx)
+      .select(col("url_canon"), col("page_hash").as("url_hash"), col("host"), (col("page_hash") % 3).cast("int").as("depth"))
+    val meta = CorpusGen.robots(spark, fx).groupBy("host")
+      .agg(max("crawl_delay_ms").as("delay_ms")).withColumn("ready_ts", lit(0L))
+    val p = plan(Scheduler.salted(frontier, meta, 0L))
+    assert(p.contains("hashpartitioning(host") && p.contains("depth"), p)
+  }
+
+  test("GlobalOrder assigns seq without a single-partition window") {
+    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val df = GlobalOrder.withSeq(
+      CorpusGen.hosting(spark, fx).select("url_canon", "host", "page_hash"),
+      Seq(col("host"), col("page_hash")), "seq")
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(__pid"), s"expected per-pid window:\n$p")
+    // the only range exchange is the explicit repartitionByRange
+    assert(p.contains("rangepartitioning(host"), p)
+  }
+
+  test("GlobalOrder seq equals a naive single-partition row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val base = CorpusGen.hosting(spark, fx).select("url_canon", "host", "page_hash")
+    val fast = GlobalOrder.withSeq(base, Seq(col("host"), col("page_hash")), "seq")
+      .select("url_canon", "seq").as[(String, Long)].collect().toMap
+    val naive = base.withColumn("seq",
+        row_number().over(Window.orderBy(col("host"), col("page_hash"))).cast("long"))
+      .select("url_canon", "seq").as[(String, Long)].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("no RDD-based operators in any query plan (typed flatMapGroups excepted)") {
+    val offenders = SparkEntry.queries.keys.filterNot(_ == "q09_crawl").filter { name =>
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")
+    }
+    assert(offenders.isEmpty, offenders.toString)
+  }
+}

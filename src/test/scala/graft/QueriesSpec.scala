@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke-tier execution of every SparkEntry query (guards graft.Verify:
+  * a query that throws or returns garbage fails here first). */
+class QueriesSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+
+  // queries that may legitimately return few/zero rows at smoke tier
+  val mayBeSmall: Set[String] = Set("q14_antijoin_customers", "q25_lsh_pairs", "q29_ann_lsh")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      if (!mayBeSmall(name)) assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, missing.toString)
+  }
+
+  test("exact-dup pairs all surface in q25 LSH output") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("q25_lsh_pairs")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val expected = docs.filter(_ % 10 == 0).map(d => (d, d + 1000000L)).toSet
+    val missing = expected -- pairs
+    assert(missing.isEmpty, s"exact dups missed by LSH: ${missing.take(5)}")
+  }
+
+  test("minhash: identical texts get identical signatures") {
+    import spark.implicits._
+    val sigs = SparkEntry.queries("q24_minhash")(spark, dir)
+      .as[(Long, String)].collect().toMap
+    sigs.keys.filter(k => k >= 1000000L && k < 2000000L).foreach { dup =>
+      assert(sigs(dup) == sigs(dup - 1000000L), s"dup $dup signature differs")
+    }
+  }
+}
