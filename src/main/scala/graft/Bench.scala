@@ -1,24 +1,62 @@
 package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.SnapshotStore
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] and prints ONE JSON
+  * line. The headline north metric (BASELINE.json:2) — URLs
+  * fetched+deduped/sec — is derived from the q09 crawl's snapshot
+  * manifest (fetched fetches + deduped link candidates over crawl wall
+  * time). Scaling efficiency N→4N is evidenced by running this twice
+  * with SPARK_GRAFT_CPUS=8 and =32 on identical input (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // fixture generation is input preparation, not engine work — untimed
+    CorpusGen.ensureFor(spark, sfDir)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // crawl throughput from the q09 snapshot manifest
+    val tier = CorpusGen.tierFor(sfDir)
+    val store = new SnapshotStore(s"target/crawl-run/${tier.name}")
+    val manifest = store.readManifest()
+    def metric(e: Map[String, Any], k: String): Double =
+      e("metrics").asInstanceOf[java.util.Map[String, Any]]
+        .getOrDefault(k, 0.0).asInstanceOf[Number].doubleValue()
+    val fetched = manifest.lastOption.map(metric(_, "fetched_total")).getOrElse(0.0)
+    val candidates = manifest.map(metric(_, "candidates")).sum
+    val crawlSec = results.toMap.getOrElse("q09_crawl", Double.NaN)
+    val urlsPerSec = (fetched + candidates) / crawlSec
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"crawl_fetched":$fetched,"crawl_dedup_candidates":$candidates,""" +
+        s""""crawl_sec":$crawlSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}""")
     spark.stop()
   }
 }

@@ -2,21 +2,26 @@ package graft.corpus
 
 import graft.urls.UrlHash
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 /** Deterministic synthetic crawl corpus (FIXTURES.md §B) — the simulated
   * web the engine crawls, since egress is disabled and the crawl must be
   * reproducible bit-for-bit (SURVEY.md §0).
   *
-  * Pure function of the tier (seed 42): interleaved docs table (the
-  * binding input shape, BASELINE.json:15), hosting index (canonical URL →
-  * doc), robots rules, and the seed list. Host popularity is Zipf(1.2) so
-  * a few hosts are hot (drives the salting path). The link graph is a
-  * B-ary tree from the seeds (reachability ≤ 6 hops) plus ~20% duplicate
-  * cross-links and parent back-edges (2-cycles), with link renderings that
-  * stress RFC 3986 canonicalization (case, default port, dot-segments,
-  * percent-escapes, fragments, trailing punctuation).
+  * Every page is a PURE FUNCTION of (tier, page index): per-page splitmix
+  * PRNGs, no shared draw sequence. That makes generation embarrassingly
+  * parallel — the parquet fixtures are written by a distributed
+  * `spark.range(n)` job (the only design that would also produce a
+  * 10^10-URL corpus), while the sequential oracle calls the same per-index
+  * functions in a driver loop and gets identical bytes.
+  *
+  * Host popularity is Zipf(1.2) so a few hosts are hot (drives the
+  * salting path); the link graph is a B-ary tree from the seeds
+  * (reachability ≤ ~7 hops) plus duplicate cross-links and parent
+  * back-edges (2-cycles); link renderings stress RFC 3986
+  * canonicalization (case, default port, dot-segments, percent-escapes,
+  * fragments, trailing punctuation).
   */
 object CorpusGen {
 
@@ -24,27 +29,28 @@ object CorpusGen {
 
   val Smoke = Tier("sf0.001", 500, 50, 10)
   val Correctness = Tier("sf0.01", 5000, 200, 20)
-  val Bench = Tier("sf0.1", 50000, 500, 50)
+  val Bench = Tier("sf0.1", 500000, 2000, 100)
 
-  def tierFor(sfDir: String): Tier = {
-    val base = Paths.get(sfDir).getFileName.toString
-    base match {
+  /** Bump when generation logic changes — stale fixtures regenerate. */
+  private val GenVersion = "v2-pure-index"
+
+  def tierFor(sfDir: String): Tier =
+    Paths.get(sfDir).getFileName.toString match {
       case "sf0.01" => Correctness
       case "sf0.1" => Bench
       case _ => Smoke
     }
-  }
 
   val FixtureRoot = "/root/repo/target/fixtures"
-
   def dirFor(tier: Tier): String = s"$FixtureRoot/${tier.name}"
 
-  // ---- in-memory corpus model ----------------------------------------
+  // ---- corpus model ----------------------------------------------------
 
   final case class Span(kind: String, text: String, media_ref: String, offset: Int)
   final case class Doc(doc_id: String, spans: Seq[Span])
   final case class Page(url_canon: String, host: String, doc_id: String, status: String)
   final case class Rule(host: String, agent: String, allow: Boolean, path_prefix: String, crawl_delay_ms: Long)
+  final case class HostingRow(page_hash: Long, url_canon: String, host: String, doc_id: String, status: String)
 
   final case class Corpus(
     tier: Tier,
@@ -53,181 +59,211 @@ object CorpusGen {
     rules: Seq[Rule],
     seeds: Seq[String])
 
-  /** Zipf(s) sampler over [0, n) with a fixed CDF — deterministic given rng. */
-  private final class Zipf(n: Int, s: Double, rng: java.util.Random) {
-    private val cdf = new Array[Double](n)
-    locally {
+  // ---- per-index pure PRNG --------------------------------------------
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Tiny deterministic PRNG: stream of splitmix64 outputs from a seed. */
+  private final class PRng(seed: Long) {
+    private var s = seed
+    def nextLong(): Long = { s += 0x9E3779B97F4A7C15L; splitmix64(s) }
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16 // 2^-53
+    def nextInt(n: Int): Int = ((nextLong() >>> 1) % n).toInt
+    def nextBoolean(): Boolean = (nextLong() & 1L) == 1L
+  }
+
+  // ---- tier-level derived structure (cheap, cached per JVM) -----------
+
+  /** Zipf(1.2) CDF over hosts — built once per (JVM, tier). */
+  private val zipfCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def zipfCdf(nHosts: Int): Array[Double] =
+    zipfCache.computeIfAbsent(nHosts, { n =>
+      val cdf = new Array[Double](n)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += 1.0 / math.pow(i + 1, s); cdf(i) = acc; i += 1 }
+      while (i < n) { acc += 1.0 / math.pow(i + 1, 1.2); cdf(i) = acc; i += 1 }
       i = 0
       while (i < n) { cdf(i) /= acc; i += 1 }
-    }
-    def next(): Int = {
-      val u = rng.nextDouble()
-      val idx = java.util.Arrays.binarySearch(cdf, u)
-      if (idx >= 0) idx else math.min(-idx - 1, n - 1)
-    }
+      cdf
+    })
+
+  private def zipfHost(nHosts: Int, u: Double): Int = {
+    val idx = java.util.Arrays.binarySearch(zipfCdf(nHosts), u)
+    if (idx >= 0) idx else math.min(-idx - 1, nHosts - 1)
   }
 
-  /** Build the whole corpus in memory. Single rng, single pass ⇒ identical
-    * output on every run (seed fixed at 42; FIXTURES.md §B). */
-  def build(tier: Tier): Corpus = {
-    val rng = new java.util.Random(42L)
-    val n = tier.docs
-    val nHosts = tier.hosts
-    val nSeeds = tier.seeds
-    val zipf = new Zipf(nHosts, 1.2, rng)
-
-    def hostName(h: Int): String = s"host$h.example"
-    // B-ary tree: children(i) = [nSeeds + i*B, nSeeds + i*B + B)
-    val perSeed = math.max(1, math.ceil(n.toDouble / nSeeds).toInt)
+  /** Tree fanout B: smallest b with b^6 ≥ docs/seeds (depth ≤ ~7). */
+  def fanout(tier: Tier): Int = {
+    val perSeed = math.max(1, math.ceil(tier.docs.toDouble / tier.seeds).toInt)
     var b = 2
     while (math.pow(b, 6) < perSeed) b += 1
-    val B = b
-
-    def children(i: Int): Range = {
-      val lo = nSeeds + i * B
-      val hi = math.min(lo + B, n)
-      if (lo >= n) Range(0, 0) else Range(lo, hi)
-    }
-
-    // robots: every third host disallows /blocked; delay cycles over hosts
-    val disallowHost = Array.tabulate(nHosts)(h => h % 3 == 0)
-    val delayOf = Array.tabulate(nHosts)(h => Array(0L, 100L, 500L, 1000L)(h % 4))
-
-    // pass 1: host, blocked flag, status per page (draw order: i asc)
-    val hostIdx = new Array[Int](n)
-    val blocked = new Array[Boolean](n)
-    val status = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      hostIdx(i) = zipf.next()
-      val isLeaf = children(i).isEmpty
-      blocked(i) = i >= nSeeds && isLeaf && disallowHost(hostIdx(i)) && rng.nextDouble() < 0.15
-      status(i) = if (i >= nSeeds && rng.nextDouble() < 0.05) "404" else "ok"
-      i += 1
-    }
-    val pathOf = Array.tabulate(n)(j => if (blocked(j)) s"/blocked/p$j" else s"/p$j")
-    val urlOf = Array.tabulate(n)(j => s"https://${hostName(hostIdx(j))}${pathOf(j)}")
-    val pagesByHost = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
-    i = 0
-    while (i < n) { pagesByHost.getOrElseUpdate(hostIdx(i), mutable.ArrayBuffer.empty) += i; i += 1 }
-
-    // pass 2: render docs (only ok pages carry a document)
-    val FILLER = Array("lorem", "ipsum", "dolor", "sit", "amet", "vulpes", "corvus", "aqua", "terra", "ignis")
-    def fill(k: Int): String = FILLER(k % FILLER.length)
-
-    /** Render a link to target t from page p in one of several syntaxes.
-      * All renderings canonicalize back to urlOf(t). */
-    def renderLink(p: Int, t: Int, variant: Int): String = {
-      val tgt = urlOf(t)
-      val sameHost = hostIdx(p) == hostIdx(t)
-      variant match {
-        case 0 => s"see $tgt for more"
-        case 1 => s"""<a href="$tgt">x</a>"""
-        case 2 if sameHost => s"""<a href="${pathOf(t)}">rel</a>"""
-        case 3 if sameHost => s"""<a href="..${pathOf(t)}">up</a>""" // /../pN → /pN
-        case 4 =>
-          // stress: uppercase scheme+host, default port, dot-segments, fragment
-          val h = hostName(hostIdx(t)).toUpperCase
-          s"link HTTPS://$h:443/x/..${pathOf(t)}#frag here"
-        case 5 =>
-          // stress: percent-encode an unreserved char of the path ('p' = %70)
-          val enc = pathOf(t).replaceFirst("p", "%70")
-          s"""<a href="https://${hostName(hostIdx(t))}$enc">enc</a>"""
-        case 6 => s"trailing $tgt." // trailing punctuation stripped
-        case _ => s"also $tgt, and text"
-      }
-    }
-
-    val docs = mutable.ArrayBuffer.empty[Doc]
-    val pages = mutable.ArrayBuffer.empty[Page]
-    i = 0
-    while (i < n) {
-      val docId = f"d$i%06d"
-      pages += Page(urlOf(i), hostName(hostIdx(i)), if (status(i) == "ok") docId else "", status(i))
-      if (status(i) == "ok") {
-        // link targets: tree children (reachability) + extras
-        val targets = mutable.ArrayBuffer.empty[Int]
-        targets ++= children(i)
-        val nExtra = rng.nextInt(4) // 0..3 duplicate/cross links
-        var e = 0
-        while (e < nExtra) { targets += rng.nextInt(n); e += 1 }
-        if (i >= nSeeds && rng.nextDouble() < 0.2) targets += (i - nSeeds) / B // back-edge (cycle)
-        // spans: 3..12, alternating text/media; links spread over text spans
-        val nSpans = 3 + rng.nextInt(10)
-        val spans = mutable.ArrayBuffer.empty[Span]
-        var offset = 0
-        var ti = 0 // next target to embed
-        var k = 0
-        while (k < nSpans) {
-          if (k % 2 == 0) {
-            val sb = new StringBuilder
-            sb.append(fill(rng.nextInt(100))).append(' ').append(fill(rng.nextInt(100)))
-            // embed up to 3 of the remaining targets in this text span
-            var embedded = 0
-            while (ti < targets.length && embedded < 3) {
-              val t = targets(ti)
-              var v = rng.nextInt(8)
-              if ((v == 2 || v == 3) && hostIdx(t) != hostIdx(i)) v = 0
-              sb.append(' ').append(renderLink(i, t, v))
-              ti += 1; embedded += 1
-            }
-            sb.append(' ').append(fill(rng.nextInt(100)))
-            val text = sb.toString
-            spans += Span("text", text, "", offset)
-            offset += text.length
-          } else {
-            val kind = if (rng.nextBoolean()) "image" else "video"
-            val ref = s"media://${hostName(hostIdx(i))}/m$i-$k"
-            spans += Span(kind, "", ref, offset)
-            offset += 1
-          }
-          k += 1
-        }
-        // any targets not yet embedded go in one final text span
-        if (ti < targets.length) {
-          val sb = new StringBuilder(fill(i))
-          while (ti < targets.length) {
-            val t = targets(ti)
-            var v = rng.nextInt(8)
-            if ((v == 2 || v == 3) && hostIdx(t) != hostIdx(i)) v = 0
-            sb.append(' ').append(renderLink(i, t, v))
-            ti += 1
-          }
-          spans += Span("text", sb.toString, "", offset)
-        }
-        docs += Doc(docId, spans.toSeq)
-      }
-      i += 1
-    }
-
-    val rules = mutable.ArrayBuffer.empty[Rule]
-    var h = 0
-    while (h < nHosts) {
-      if (disallowHost(h)) rules += Rule(hostName(h), "*", allow = false, "/blocked", delayOf(h))
-      rules += Rule(hostName(h), "*", allow = true, "/", delayOf(h))
-      h += 1
-    }
-
-    val seeds = (0 until nSeeds).map(urlOf(_))
-    Corpus(tier, docs.toSeq, pages.toSeq, rules.toSeq, seeds)
+    b
   }
 
-  // ---- parquet materialization ----------------------------------------
+  def children(tier: Tier, i: Int): Range = {
+    val b = fanout(tier)
+    val lo = tier.seeds + i.toLong * b
+    if (lo >= tier.docs) Range(0, 0)
+    else Range(lo.toInt, math.min(lo + b, tier.docs.toLong).toInt)
+  }
 
-  /** Write the corpus tables under dirFor(tier) if not already present.
-    * Concurrent-safe via write-to-tmp + marker file. Returns the dir. */
+  def parent(tier: Tier, i: Int): Int = (i - tier.seeds) / fanout(tier)
+
+  def hostName(h: Int): String = s"host$h.example"
+  def disallowHost(h: Int): Boolean = h % 3 == 0
+  def delayOfHost(h: Int): Long = Array(0L, 100L, 500L, 1000L)(h % 4)
+
+  // ---- per-page pure functions ----------------------------------------
+
+  final case class PageMeta(hostIdx: Int, blocked: Boolean, status: String) {
+    def host: String = hostName(hostIdx)
+  }
+
+  /** All page-level draws, in a fixed order from the page's own PRNG. */
+  def pageMeta(tier: Tier, i: Int): PageMeta = {
+    val rng = new PRng(splitmix64(42L ^ (i.toLong * 0x5851F42D4C957F2DL)))
+    val hostIdx = zipfHost(tier.hosts, rng.nextDouble())
+    val isLeaf = children(tier, i).isEmpty
+    val blocked = i >= tier.seeds && isLeaf && disallowHost(hostIdx) &&
+      rng.nextDouble() < 0.15
+    val status = if (i >= tier.seeds && rng.nextDouble() < 0.05) "404" else "ok"
+    PageMeta(hostIdx, blocked, status)
+  }
+
+  def pathOf(tier: Tier, i: Int): String =
+    if (pageMeta(tier, i).blocked) s"/blocked/p$i" else s"/p$i"
+
+  def urlOf(tier: Tier, i: Int): String =
+    s"https://${pageMeta(tier, i).host}${pathOf(tier, i)}"
+
+  def docIdOf(i: Int): String = f"d$i%07d"
+
+  private val FILLER = Array("lorem", "ipsum", "dolor", "sit", "amet",
+    "vulpes", "corvus", "aqua", "terra", "ignis")
+
+  /** Render a link to target t from page i; every rendering canonicalizes
+    * back to urlOf(t). `v` selects the syntax variant. */
+  private def renderLink(tier: Tier, i: Int, t: Int, v0: Int): String = {
+    val mi = pageMeta(tier, i)
+    val mt = pageMeta(tier, t)
+    val sameHost = mi.hostIdx == mt.hostIdx
+    val v = if ((v0 == 2 || v0 == 3) && !sameHost) 0 else v0
+    val tgt = urlOf(tier, t)
+    val path = pathOf(tier, t)
+    v match {
+      case 0 => s"see $tgt for more"
+      case 1 => s"""<a href="$tgt">x</a>"""
+      case 2 => s"""<a href="$path">rel</a>"""
+      case 3 => s"""<a href="..$path">up</a>""" // /../pN → /pN
+      case 4 => s"link HTTPS://${mt.host.toUpperCase}:443/x/..$path#frag here"
+      case 5 =>
+        val enc = path.replaceFirst("p", "%70")
+        s"""<a href="https://${mt.host}$enc">enc</a>"""
+      case 6 => s"trailing $tgt."
+      case _ => s"also $tgt, and text"
+    }
+  }
+
+  /** The document body of page i (only valid when status == "ok"):
+    * 3–12 alternating text/media spans with the page's outlinks embedded
+    * across text spans. Pure in (tier, i). */
+  def docSpans(tier: Tier, i: Int): Seq[Span] = {
+    val rng = new PRng(splitmix64(777L ^ (i.toLong * 0x2545F4914F6CDD1DL)))
+    val mi = pageMeta(tier, i)
+    val targets = mutable.ArrayBuffer.empty[Int]
+    targets ++= children(tier, i)
+    val nExtra = rng.nextInt(4)
+    var e = 0
+    while (e < nExtra) { targets += rng.nextInt(tier.docs); e += 1 }
+    if (i >= tier.seeds && rng.nextDouble() < 0.2) targets += parent(tier, i)
+
+    def fill(): String = FILLER(rng.nextInt(FILLER.length))
+    val nSpans = 3 + rng.nextInt(10)
+    val spans = mutable.ArrayBuffer.empty[Span]
+    var offset = 0
+    var ti = 0
+    var k = 0
+    while (k < nSpans) {
+      if (k % 2 == 0) {
+        val sb = new StringBuilder
+        sb.append(fill()).append(' ').append(fill())
+        var embedded = 0
+        while (ti < targets.length && embedded < 3) {
+          sb.append(' ').append(renderLink(tier, i, targets(ti), rng.nextInt(8)))
+          ti += 1; embedded += 1
+        }
+        sb.append(' ').append(fill())
+        val text = sb.toString
+        spans += Span("text", text, "", offset)
+        offset += text.length
+      } else {
+        val kind = if (rng.nextBoolean()) "image" else "video"
+        spans += Span(kind, "", s"media://${mi.host}/m$i-$k", offset)
+        offset += 1
+      }
+      k += 1
+    }
+    if (ti < targets.length) {
+      val sb = new StringBuilder(fill())
+      while (ti < targets.length) {
+        sb.append(' ').append(renderLink(tier, i, targets(ti), rng.nextInt(8)))
+        ti += 1
+      }
+      spans += Span("text", sb.toString, "", offset)
+    }
+    spans.toSeq
+  }
+
+  def hostingRow(tier: Tier, i: Int): HostingRow = {
+    val m = pageMeta(tier, i)
+    val url = urlOf(tier, i)
+    HostingRow(UrlHash.hash64(url), url, m.host,
+      if (m.status == "ok") docIdOf(i) else "", m.status)
+  }
+
+  def rulesFor(tier: Tier): Seq[Rule] =
+    (0 until tier.hosts).flatMap { h =>
+      val base = Seq(Rule(hostName(h), "*", allow = true, "/", delayOfHost(h)))
+      if (disallowHost(h))
+        Rule(hostName(h), "*", allow = false, "/blocked", delayOfHost(h)) +: base
+      else base
+    }
+
+  def seedUrls(tier: Tier): Seq[String] = (0 until tier.seeds).map(urlOf(tier, _))
+
+  // ---- driver-side build (oracle input; small tiers) -------------------
+
+  def build(tier: Tier): Corpus = {
+    val docs = (0 until tier.docs).flatMap { i =>
+      if (pageMeta(tier, i).status == "ok") Some(Doc(docIdOf(i), docSpans(tier, i))) else None
+    }
+    val pages = (0 until tier.docs).map { i =>
+      val h = hostingRow(tier, i)
+      Page(h.url_canon, h.host, h.doc_id, h.status)
+    }
+    Corpus(tier, docs, pages, rulesFor(tier), seedUrls(tier))
+  }
+
+  // ---- distributed parquet materialization -----------------------------
+
+  /** Write the corpus tables under dirFor(tier) if absent/stale (marker
+    * records the generator version). Generation runs as a distributed
+    * `spark.range` job — the same code path a 10^10-URL corpus would use. */
   def ensure(spark: SparkSession, tier: Tier): String = {
     val dir = dirFor(tier)
     val marker = Paths.get(dir, "_DONE")
-    if (Files.exists(marker)) return dir
+    def fresh = Files.exists(marker) && Files.readString(marker) == GenVersion
+    if (fresh) return dir
     synchronized {
-      if (Files.exists(marker)) return dir
+      if (fresh) return dir
       write(spark, tier, dir)
       Files.createDirectories(Paths.get(dir))
-      Files.writeString(marker, "ok")
+      Files.writeString(marker, GenVersion)
     }
     dir
   }
@@ -236,17 +272,24 @@ object CorpusGen {
 
   private def write(spark: SparkSession, tier: Tier, dir: String): Unit = {
     import spark.implicits._
-    val c = build(tier)
     val pq = SaveMode.Overwrite
-    c.docs.toDF().repartition(8).write.mode(pq).parquet(s"$dir/interleaved.parquet")
-    c.pages.map(p => (UrlHash.hash64(p.url_canon), p.url_canon, p.host, p.doc_id, p.status))
-      .toDF("page_hash", "url_canon", "host", "doc_id", "status")
-      .repartition(8).write.mode(pq).parquet(s"$dir/hosting.parquet")
-    c.rules.toDF().coalesce(1).write.mode(pq).parquet(s"$dir/robots.parquet")
-    c.seeds.toDF("url_canon").coalesce(1).write.mode(pq).parquet(s"$dir/seeds.parquet")
+    val n = tier.docs
+    val parts = math.max(8, spark.sparkContext.defaultParallelism)
+    val idx = spark.range(0, n, 1, parts).as[Long]
+    idx.map { i =>
+        val ii = i.toInt
+        if (pageMeta(tier, ii).status == "ok") Doc(docIdOf(ii), docSpans(tier, ii))
+        else Doc("", Seq.empty)
+      }
+      .filter(_.doc_id.nonEmpty)
+      .write.mode(pq).parquet(s"$dir/interleaved.parquet")
+    idx.map(i => hostingRow(tier, i.toInt))
+      .write.mode(pq).parquet(s"$dir/hosting.parquet")
+    rulesFor(tier).toDF().coalesce(1).write.mode(pq).parquet(s"$dir/robots.parquet")
+    seedUrls(tier).toDF("url_canon").coalesce(1).write.mode(pq).parquet(s"$dir/seeds.parquet")
   }
 
-  // ---- typed readers ---------------------------------------------------
+  // ---- readers ---------------------------------------------------------
 
   def interleaved(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/interleaved.parquet")

@@ -26,4 +26,8 @@ final case class CrawlConfig(
   saltedScheduler: Boolean = true,
   /** Use the typed per-host heap (Q1) instead of the window scheduler
     * (W1); results must be identical — tests assert it. */
-  typedHeapScheduler: Boolean = false)
+  typedHeapScheduler: Boolean = false,
+  /** Compact the seen-set delta chain into one base file once this many
+    * live files accumulate (Iceberg-style compaction: keeps the per-round
+    * scan O(1) instead of O(rounds), amortized O(log) rewrite). */
+  seenCompactEvery: Int = 8)

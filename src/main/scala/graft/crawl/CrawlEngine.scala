@@ -86,11 +86,10 @@ final class CrawlEngine(
     spark.read.parquet(rounds.map(store.fetchLogPath): _*)
   }
 
-  /** The authoritative (exact) seen set: union of committed deltas. */
-  def seen(): DataFrame = {
-    val rounds = store.committedRounds()
-    spark.read.parquet(rounds.map(store.seenDeltaPath): _*)
-  }
+  /** The authoritative (exact) seen set: the live (compacted base +
+    * delta) files of the last committed round. */
+  def seen(): DataFrame =
+    spark.read.parquet(store.liveSeenPaths(): _*)
 
   /** Ordered span sequences of every fetched ok document — the
     * byte-for-byte output invariant (BASELINE.json:15). */
@@ -120,11 +119,11 @@ final class CrawlEngine(
       cfg.bloomShardCapacity, cfg.bloomFpp)
     blooms.writeTo(store.bloomsPath(0))
     store.writeHostReady(0, Map.empty)
-    val nSeeds = delta.count()
     val lineage = bucketCounts(delta)
+    val nSeeds = lineage.sum
     store.commit(store.entryJson(0, -1,
       Map("frontier" -> nSeeds, "seen_delta" -> nSeeds, "fetchlog" -> 0L),
-      lineage, Map("fetched_total" -> 0.0)))
+      lineage, Map("fetched_total" -> 0.0), Seq(store.seenDeltaPath(0))))
   }
 
   private def bucketCounts(df: DataFrame): Seq[Long] = {
@@ -139,6 +138,7 @@ final class CrawlEngine(
     var round = store.lastCommitted().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
     var hostReady = store.readHostReady(round)
+    var seenPaths: Seq[String] = store.liveSeenPaths()
     var blooms =
       if (cfg.useBloom) Some(BloomShards.readFrom(store.bloomsPath(round))) else None
     var fetchedSoFar = store.readManifest()
@@ -236,7 +236,8 @@ final class CrawlEngine(
       val candCount = cand.count()
 
       // J1: two-phase seen-set dedup (bloom prefilter + exact anti-join)
-      val newUrls = SeenSet.newUrls(spark, cand, seen(), blooms)
+      val seenDf = spark.read.parquet(seenPaths: _*)
+      val newUrls = SeenSet.newUrls(spark, cand, seenDf, blooms)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- commit round R+1 snapshot ----
@@ -249,7 +250,19 @@ final class CrawlEngine(
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
       delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
       val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
-      val newCount = deltaBack.count()
+      val lineage = bucketCounts(deltaBack)
+      val newCount = lineage.sum
+
+      // Iceberg-style compaction: fold the delta chain into one base file
+      // once it grows past the threshold, keeping every round's seen scan
+      // a bounded number of files (amortized-log rewrite cost)
+      seenPaths = seenPaths :+ store.seenDeltaPath(next)
+      if (seenPaths.size >= cfg.seenCompactEvery) {
+        spark.read.parquet(seenPaths: _*)
+          .repartition(cfg.partitions, pmod(col("url_hash"), lit(cfg.partitions.toLong)))
+          .write.mode("overwrite").parquet(store.seenBasePath(next))
+        seenPaths = Seq(store.seenBasePath(next))
+      }
 
       // next frontier: carried entries keep their depth; new URLs get the
       // depth recorded at discovery
@@ -290,7 +303,7 @@ final class CrawlEngine(
       store.commit(store.entryJson(next, round,
         Map("frontier" -> (carriedCount + newCount), "seen_delta" -> newCount,
           "fetchlog" -> schedCount),
-        bucketCounts(deltaBack), metrics))
+        lineage, metrics, seenPaths))
 
       Seq(frontier, withAllowed, schedAll, sched, fetched, cand, newUrls)
         .foreach(_.unpersist())

@@ -35,6 +35,7 @@ final class SnapshotStore(val root: String) {
   def roundDir(r: Int): String = s"$root/round=$r"
   def frontierPath(r: Int): String = s"${roundDir(r)}/frontier"
   def seenDeltaPath(r: Int): String = s"${roundDir(r)}/seen_delta"
+  def seenBasePath(r: Int): String = s"${roundDir(r)}/seen_base"
   def fetchLogPath(r: Int): String = s"${roundDir(r)}/fetchlog"
   def bloomsPath(r: Int): String = s"${roundDir(r)}/blooms.bin"
   def hostReadyPath(r: Int): Path = Paths.get(roundDir(r), "hostready.json")
@@ -94,10 +95,12 @@ final class SnapshotStore(val root: String) {
   }
 
   /** Serialize one manifest entry. `lineage` carries per-partition
-    * (pmod(url_hash, P) bucket) row counts of the seen delta —
+    * (pmod(url_hash, P) bucket) row counts of the seen delta, and
+    * `seenPaths` the live seen-set files after compaction —
     * BASELINE.json:14 "per-partition lineage + metrics". */
   def entryJson(round: Int, parent: Int, rows: Map[String, Long],
-                lineage: Seq[Long], metrics: Map[String, Double]): String = {
+                lineage: Seq[Long], metrics: Map[String, Double],
+                seenPaths: Seq[String]): String = {
     val node = mapper.createObjectNode()
     node.put("round", round)
     node.put("parent", parent)
@@ -105,8 +108,16 @@ final class SnapshotStore(val root: String) {
     rows.toSeq.sortBy(_._1).foreach { case (k, v) => rowsNode.put(k, v) }
     val lin = node.putArray("seen_delta_partition_rows")
     lineage.foreach(lin.add)
+    val sp = node.putArray("seen_paths")
+    seenPaths.foreach(sp.add)
     val met = node.putObject("metrics")
     metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
     mapper.writeValueAsString(node)
   }
+
+  /** Live seen-set parquet paths as of the last committed round. */
+  def liveSeenPaths(): Seq[String] =
+    readManifest().lastOption.map(
+      _("seen_paths").asInstanceOf[java.util.List[String]]
+        .asScala.toSeq).getOrElse(Seq.empty)
 }

@@ -23,9 +23,16 @@ object CrawlOps {
 
   private def fx(s: SparkSession, dir: String): String = CorpusGen.ensureFor(s, dir)
 
-  def crawlConfigFor(partitions: Int): CrawlConfig =
-    CrawlConfig(maxDepth = 10, perHostPerRound = 50, partitions = partitions,
-      bloomShardCapacity = 100000L)
+  /** Flagship-crawl config: the per-host round budget is sized so the
+    * Zipf-hot head host (≈20% of all pages) drains in a handful of
+    * rounds — a tiny budget turns the batch model into
+    * hot-host-pages / budget rounds of fixed scheduling overhead.
+    * Politeness (virtual fetch_ts spacing) is unaffected by the budget. */
+  def crawlConfigFor(partitions: Int, tier: CorpusGen.Tier): CrawlConfig = {
+    val perHost = math.max(2500, tier.docs / 20) // hot Zipf head drains in ~4 rounds
+    CrawlConfig(maxDepth = 10, perHostPerRound = perHost, partitions = partitions,
+      bloomShardCapacity = math.max(100000L, tier.docs.toLong))
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -123,7 +130,7 @@ object CrawlOps {
     "q09_crawl" -> ((s, dir) => {
       val d = fx(s, dir)
       val tier = CorpusGen.tierFor(dir)
-      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions)
+      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
       val engine = new CrawlEngine(s, d, s"target/crawl-run/${tier.name}", cfg)
       engine.runFresh()
       engine.fetchLog()

@@ -138,19 +138,23 @@ object TextOps {
     "q25_lsh_pairs" -> ((s, dir) => {
       val base = docsAugmented(s, dir)
       val ws = words(col("text"))
+      // materialize signatures ONCE — the band fanout + self-join would
+      // otherwise recompute the whole minhash subtree 8×
       val sigged = base.select(col("doc_id"), array_distinct(ws).as("wset"),
-        split(minhashSig(col("text"), 8), "\\|").as("sigs"))
-      val banded = sigged.select(col("doc_id"), col("wset"),
+        split(minhashSig(col("text"), 8), "\\|").as("sigs")).persist()
+      val banded = sigged.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
           md5(concat(element_at(col("sigs"), b * 2 + 1), element_at(col("sigs"), b * 2 + 2)))))
           .as(Seq("band_id", "band_key")))
-      val a = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("doc_a"), col("wset").as("wset_a"))
-      val b = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("doc_b"), col("wset").as("wset_b"))
-      a.join(b, Seq("band_id", "band_key"))
+      val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+      // candidate pairs on ids only (cheap distinct), word sets joined back
+      val pairs = a.join(b, Seq("band_id", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "wset_a", "wset_b").distinct()
+        .select("doc_a", "doc_b").distinct()
+      val wa = sigged.select(col("doc_id").as("doc_a"), col("wset").as("wset_a"))
+      val wb = sigged.select(col("doc_id").as("doc_b"), col("wset").as("wset_b"))
+      pairs.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
         .withColumn("jaccard", round(
           size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
             size(array_union(col("wset_a"), col("wset_b"))), 4))

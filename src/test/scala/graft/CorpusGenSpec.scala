@@ -9,12 +9,18 @@ class CorpusGenSpec extends SparkTestBase {
 
   lazy val corpus = CorpusGen.build(CorpusGen.Smoke)
 
-  test("corpus is deterministic (two builds identical)") {
-    val c2 = CorpusGen.build(CorpusGen.Smoke)
-    assert(corpus.docs == c2.docs)
-    assert(corpus.pages == c2.pages)
-    assert(corpus.rules == c2.rules)
-    assert(corpus.seeds == c2.seeds)
+  test("distributed generation equals the driver-side build exactly") {
+    import spark.implicits._
+    val dir = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val distHosting = CorpusGen.hosting(spark, dir)
+      .as[CorpusGen.HostingRow].collect().sortBy(_.url_canon)
+    val built = corpus.pages.map(p =>
+      CorpusGen.HostingRow(graft.urls.UrlHash.hash64(p.url_canon), p.url_canon, p.host, p.doc_id, p.status))
+      .sortBy(_.url_canon)
+    assert(distHosting.toSeq == built)
+    val distDocs = CorpusGen.interleaved(spark, dir)
+      .as[CorpusGen.Doc].collect().sortBy(_.doc_id)
+    assert(distDocs.toSeq == corpus.docs.sortBy(_.doc_id))
   }
 
   test("pages have unique canonical URLs and hashes") {
