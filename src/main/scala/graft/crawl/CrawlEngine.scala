@@ -155,9 +155,9 @@ final class CrawlEngine(
       val t0 = System.nanoTime()
       val frontier = spark.read.parquet(store.frontierPath(round))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (frontier.isEmpty) { frontier.unpersist(); return false }
 
-      // P4: robots filter — longest-prefix-match over broadcast rules
+      // P4: robots filter — longest-prefix-match over broadcast rules;
+      // one stats job yields denied + frontier-empty in a single pass
       val rulesB = spark.sparkContext.broadcast(rulesByHost)
       val allowedUdf = udf { (host: String, url: String) =>
         RobotsMatch.allows(
@@ -167,8 +167,11 @@ final class CrawlEngine(
       val withAllowed = frontier
         .withColumn("__allowed", allowedUdf(col("host"), col("url_canon")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val allowedCounts = withAllowed.groupBy("__allowed").count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      if (allowedCounts.values.sum == 0L) { frontier.unpersist(); withAllowed.unpersist(); return false }
       val allowed = withAllowed.filter(col("__allowed")).drop("__allowed")
-      val deniedCount = withAllowed.filter(!col("__allowed")).count()
+      val deniedCount = allowedCounts.getOrElse(false, 0L)
 
       // W1/Q1: politeness schedule
       val hostMeta = hostMetaDf(hostReady)
@@ -190,11 +193,6 @@ final class CrawlEngine(
           Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
         .filter(col("seq") <= cfg.totalBudget)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val schedCount = sched.count()
-      if (schedCount == 0L) {
-        frontier.unpersist(); withAllowed.unpersist(); schedAll.unpersist(); sched.unpersist()
-        return false
-      }
 
       // J3: simulated fetch
       val fetched = sched.join(
@@ -206,8 +204,17 @@ final class CrawlEngine(
         .withColumn("round", lit(round))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val statusCounts = fetched.groupBy("status").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one stats pass: per-(host, status) counts feed the status metrics,
+      // the scheduled count, AND the host-ready advance
+      val hostStatus = fetched.groupBy("host", "status").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val statusCounts = hostStatus.groupBy(_._2).map { case (st, xs) => st -> xs.map(_._3).sum }
+      val perHostFetched = hostStatus.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._3).sum }
+      val schedCount = statusCounts.values.sum
+      if (schedCount == 0L) {
+        Seq(frontier, withAllowed, schedAll, sched, fetched).foreach(_.unpersist())
+        return false
+      }
 
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
       val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
@@ -278,8 +285,6 @@ final class CrawlEngine(
       }
 
       // host-ready advance: ready' = ready + fetched_this_round * delay
-      val perHostFetched = sched.groupBy("host").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       hostReady = hostReady ++ perHostFetched.map { case (h, cnt) =>
         val d = delayByHost.getOrElse(h, cfg.defaultDelayMs)
         h -> (hostReady.getOrElse(h, 0L) + cnt * d)

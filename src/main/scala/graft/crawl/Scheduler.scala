@@ -47,23 +47,32 @@ object Scheduler {
     finish(withMeta(df, hostMeta, defaultDelayMs).withColumn("rn", row_number().over(w)))
   }
 
+  /** Explicit salting for skewed hosts (BASELINE.json:14): a Zipf-head
+    * host with millions of frontier URLs must not rank in one task. The
+    * per-host order key is (depth, url_hash); salt = the high byte of
+    * url_hash — ORDER-PRESERVING within (host, depth), so
+    * global-rank = cumulative offset of earlier (depth, salt) groups +
+    * rank within (host, depth, salt). Both the in-group rank and the
+    * offset table are computed distributedly; max task size drops from
+    * |hot host| to |hot host| / 256. */
   def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame = {
-    // phase 1: rank within (host, depth) — the skewed host splits across
-    // its depths, so no single task owns a hot host
-    val wFine = Window.partitionBy("host", "depth").orderBy(col("url_hash"))
+    val saltCol = shiftright(col("url_hash"), 56) // signed ⇒ monotonic in url_hash
+    val wFine = Window.partitionBy("host", "depth", "__salt").orderBy(col("url_hash"))
     val fine = withMeta(df, hostMeta, defaultDelayMs)
+      .withColumn("__salt", saltCol)
       .withColumn("__rnd", row_number().over(wFine))
-    // phase 2: per-(host, depth) cumulative offsets, computed distributedly
-    // (≤ maxDepth rows per host — trivially balanced)
-    val wOfs = Window.partitionBy("host").orderBy("depth")
+    // cumulative offsets over the (depth, salt) groups of each host
+    // (≤ maxDepth × 256 rows per host — trivially balanced)
+    val wOfs = Window.partitionBy("host").orderBy("depth", "__salt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy("host", "depth").count()
+    val offsets = df
+      .groupBy(col("host"), col("depth"), saltCol.as("__salt")).count()
       .withColumn("__offset", coalesce(sum("count").over(wOfs), lit(0L)))
-      .select(col("host"), col("depth"), col("__offset"))
+      .select(col("host"), col("depth"), col("__salt"), col("__offset"))
     finish(
-      fine.join(offsets, Seq("host", "depth"))
+      fine.join(offsets, Seq("host", "depth", "__salt"))
         .withColumn("rn", (col("__offset") + col("__rnd")).cast("int"))
-        .drop("__rnd", "__offset"))
+        .drop("__rnd", "__offset", "__salt"))
   }
 
   /** Q1 — the reference's per-host min-heap, typed. Identical output to

@@ -51,7 +51,7 @@ class PlanShapeSpec extends SparkTestBase {
     val meta = CorpusGen.robots(spark, fx).groupBy("host")
       .agg(max("crawl_delay_ms").as("delay_ms")).withColumn("ready_ts", lit(0L))
     val p = plan(Scheduler.salted(frontier, meta, 0L))
-    assert(p.contains("hashpartitioning(host") && p.contains("depth"), p)
+    assert(p.contains("hashpartitioning(host") && p.contains("__salt"), p)
   }
 
   test("GlobalOrder assigns seq without a single-partition window") {
