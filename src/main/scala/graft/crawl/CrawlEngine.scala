@@ -3,8 +3,8 @@ package graft.crawl
 import graft.corpus.CorpusGen
 import graft.functions.{canonicalize_url, extract_urls, host_of}
 import graft.plans.GlobalOrder
-import graft.urls.{RobotsMatch, UrlCanon}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftinternal.Shim
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -64,6 +64,8 @@ final class CrawlEngine(
     val delays = rules.groupBy(_._1).map { case (h, rs) => h -> rs.map(_._4).max }
     (byHost, delays)
   }
+
+  private lazy val robotsIndex = new RobotsIndex(rulesByHost)
 
   // ---- public API ------------------------------------------------------
 
@@ -156,16 +158,12 @@ final class CrawlEngine(
       val frontier = spark.read.parquet(store.frontierPath(round))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // P4: robots filter — longest-prefix-match over broadcast rules;
+      // P4: robots filter — longest-prefix-match via a codegen'd
+      // expression over the compiled rule index (no UDF in the hot path);
       // one stats job yields denied + frontier-empty in a single pass
-      val rulesB = spark.sparkContext.broadcast(rulesByHost)
-      val allowedUdf = udf { (host: String, url: String) =>
-        RobotsMatch.allows(
-          rulesB.value.getOrElse(host, Array.empty[(Boolean, String)]).toSeq,
-          UrlCanon.pathOf(url))
-      }
       val withAllowed = frontier
-        .withColumn("__allowed", allowedUdf(col("host"), col("url_canon")))
+        .withColumn("__allowed", Shim.col(RobotsAllows(
+          Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val allowedCounts = withAllowed.groupBy("__allowed").count()
         .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap

@@ -1,0 +1,45 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.BloomAggregator
+import graft.urls.UrlHash
+import org.apache.spark.sql.functions._
+
+/** Sketch coverage: A2's UDAF bloom form and A4's CountMinSketch cheap
+  * hot-host pass (SURVEY.md §2.4). */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BloomAggregator UDAF: per-shard blooms with no false negatives, bounded FPP") {
+    val n = 20000
+    val hashes = (0 until n).map(i => UrlHash.hash64(s"https://h$i.example/p$i"))
+    val df = hashes.toDF("url_hash")
+      .withColumn("shard", pmod(col("url_hash"), lit(4L)))
+    val agg = udaf(new BloomAggregator(n.toLong, 0.01))
+    val shards = df.groupBy("shard").agg(agg(col("url_hash")).as("bloom"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (s, b) => s -> BloomAggregator.deserialize(b) }.toMap
+    assert(shards.size == 4)
+    // no false negatives, ever
+    hashes.foreach { h =>
+      assert(shards((((h % 4) + 4) % 4)).mightContainLong(h))
+    }
+    // observed FPP ≤ 2× nominal on unseen keys
+    val probes = (0 until 20000).map(i => UrlHash.hash64(s"https://unseen$i.example/x"))
+    val fp = probes.count(h => shards((((h % 4) + 4) % 4)).mightContainLong(h))
+    assert(fp <= probes.size * 0.02, s"observed FPP ${fp.toDouble / probes.size}")
+  }
+
+  test("CountMinSketch pre-pass finds the Zipf-hot hosts (A4 scale path)") {
+    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val hosting = CorpusGen.hosting(spark, fx)
+    val cms = hosting.stat.countMinSketch(col("host"), eps = 0.005, confidence = 0.99, seed = 42)
+    val exact = hosting.groupBy("host").count()
+      .as[(String, Long)].collect().toMap
+    val hottest = exact.maxBy(_._2)
+    // CMS never under-counts; estimate within eps * total of the truth
+    val est = cms.estimateCount(hottest._1)
+    assert(est >= hottest._2)
+    assert(est <= hottest._2 + (0.005 * exact.values.sum).toLong + 1)
+  }
+}
