@@ -255,7 +255,16 @@ final class CrawlEngine(
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
       delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
       val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
-      val lineage = bucketCounts(deltaBack)
+      // per-partition lineage comes for free from the bloom-shard build
+      // (same pmod(url_hash, P) sharding) — no separate counting job
+      val lineage = blooms match {
+        case Some(b) =>
+          val l = SeenSet.addToShards(spark, deltaBack.select("url_hash"), b,
+            cfg.bloomShardCapacity, cfg.bloomFpp)
+          b.writeTo(store.bloomsPath(next))
+          l
+        case None => bucketCounts(deltaBack)
+      }
       val newCount = lineage.sum
 
       // Iceberg-style compaction: fold the delta chain into one base file
@@ -275,12 +284,6 @@ final class CrawlEngine(
         newUrls.select("url_canon", "url_hash", "host", "depth"))
       nextFrontier.write.mode("overwrite").parquet(store.frontierPath(next))
       val carriedCount = spark.read.parquet(store.frontierPath(next)).count() - newCount
-
-      blooms.foreach { b =>
-        SeenSet.addToShards(spark, deltaBack.select("url_hash"), b,
-          cfg.bloomShardCapacity, cfg.bloomFpp)
-        b.writeTo(store.bloomsPath(next))
-      }
 
       // host-ready advance: ready' = ready + fetched_this_round * delay
       hostReady = hostReady ++ perHostFetched.map { case (h, cnt) =>

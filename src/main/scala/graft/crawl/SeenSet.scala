@@ -70,9 +70,11 @@ object SeenSet {
   /** Build partial per-shard blooms for `hashes` (a single-column
     * DataFrame of url_hash) on the executors, merge into `target` on the
     * driver. One shuffle keyed by shard id; bloom build streams the
-    * iterator (O(shard bytes) memory). */
+    * iterator (O(shard bytes) memory). Returns per-shard row counts —
+    * exactly the per-partition lineage the snapshot manifest records, so
+    * the engine needs no separate counting job. */
   def addToShards(spark: SparkSession, hashes: DataFrame, target: BloomShards,
-                  capacityPerShard: Long, fpp: Double): Unit = {
+                  capacityPerShard: Long, fpp: Double): Seq[Long] = {
     import spark.implicits._
     val p = target.P
     val partials = hashes.select(col("url_hash"))
@@ -80,13 +82,16 @@ object SeenSet {
       .groupByKey(h => (((h % p) + p) % p).toInt)
       .mapGroups { (pid, it) =>
         val bf = BloomFilter.create(capacityPerShard, fpp)
-        it.foreach(bf.putLong)
+        var n = 0L
+        it.foreach { h => bf.putLong(h); n += 1 }
         val bos = new ByteArrayOutputStream()
         bf.writeTo(bos)
-        (pid, bos.toByteArray)
+        (pid, bos.toByteArray, n)
       }
       .collect()
-    partials.foreach { case (pid, blob) => target.mergeBlob(pid, blob) }
+    partials.foreach { case (pid, blob, _) => target.mergeBlob(pid, blob) }
+    val byPid = partials.map(t => t._1 -> t._3).toMap
+    (0 until p).map(i => byPid.getOrElse(i, 0L))
   }
 
   /** J1 two-phase dedup: rows of `cand` whose url_hash is NOT in the seen
