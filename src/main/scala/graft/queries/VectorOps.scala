@@ -92,6 +92,60 @@ object VectorOps {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: deterministic k-means-lite coarse quantizer (K=16, one
+    // Lloyd step, nprobe=2), candidates restricted to the probed cells —
+    // the second scale path next to q29's LSH (at 100 TB the cell join
+    // replaces the all-pairs cross join; recall asserted in LshAnnSpec)
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .persist()
+      def dist2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      def centroidDf(cents: Array[(Int, Seq[Double])]) = {
+        import s.implicits._
+        cents.toSeq.toDF("cid", "c")
+      }
+      // deterministic seeding: every 31st vec_id, first 16
+      val seeds0 = emb.filter(col("vec_id") % 31 === 0)
+        .orderBy("vec_id").limit(16).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+      def assign(cents: Array[(Int, Seq[Double])]) =
+        emb.crossJoin(broadcast(centroidDf(cents)))
+          .withColumn("d2", dist2(col("v"), col("c")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+      // one Lloyd step: element-wise mean per cell
+      val cents1 = assign(seeds0)
+        .join(emb, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"), transform(col("px"), p => p.getField("x")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val cells = assign(cents1).join(emb, Seq("vec_id"))
+      // queries probe their 2 nearest cells
+      val w2 = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cid").asc)
+      val probes = emb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .crossJoin(broadcast(centroidDf(cents1)))
+        .withColumn("d2", dist2(col("qv"), col("c")))
+        .withColumn("pr", row_number().over(w2))
+        .filter(col("pr") <= 2)
+        .select("query_id", "qv", "cid")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      probes.join(cells, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos4"))
+        .orderBy("query_id", "rank")
+    }),
+
     // vector stats via higher-order functions (fully SQL-checkable)
     "q34_embedding_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")

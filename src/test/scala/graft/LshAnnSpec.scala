@@ -42,4 +42,15 @@ class LshAnnSpec extends SparkTestBase {
     assert(rogue.size <= approx.size / 2,
       s"too many LSH neighbors outside exact top-20: ${rogue.take(5)}")
   }
+
+  test("IVF ANN (q35) returns candidates with measurable recall vs brute force") {
+    val exact = SparkEntry.queries("q28_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("q35_ann_ivf")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = if (exact.isEmpty) 0.0 else ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF ANN recall@5 vs brute force: $recall%.3f (ivf=${ivf.size}, exact=${exact.size})")
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.10, f"IVF recall degraded: $recall%.3f")
+  }
 }
