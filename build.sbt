@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout RAW (no sbt "[info] " prefix):
+// the bench driver parses graft.Bench's single JSON line from stdout,
+// and the logger prefix broke that parse in round 1 (BENCH_r01 parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

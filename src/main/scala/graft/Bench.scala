@@ -53,10 +53,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""cpus":$cpus,"crawl_fetched":$fetched,"crawl_dedup_candidates":$candidates,""" +
-        s""""crawl_sec":$crawlSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}""")
+        s""""crawl_sec":$crawlSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}"""
+    // belt-and-braces for the driver's parser: the JSON goes to stdout as
+    // the last line AND to a file (round 1 lost the line to sbt logging)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_last.json"), json + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -17,6 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // golden fixtures for the non-SQL-expressible queries (q09/q29/q35):
+    // independent sequential-model output the DuckDB oracle reads back
+    try graft.oracle.GoldenOracles.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] golden-oracle generation failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

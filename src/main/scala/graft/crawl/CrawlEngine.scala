@@ -187,9 +187,9 @@ final class CrawlEngine(
       val withinHostCap = schedAll.filter(col("rn") <= cfg.perHostPerRound)
 
       // O1/O2: global crawl order + budget truncation (scalable two-phase seq)
-      val sched = GlobalOrder.withSeq(withinHostCap,
-          Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
-        .filter(col("seq") <= cfg.totalBudget)
+      val (seqDf, seqCleanup) = GlobalOrder.withSeqHandle(withinHostCap,
+        Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
+      val sched = seqDf.filter(col("seq") <= cfg.totalBudget)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // J3: simulated fetch
@@ -313,6 +313,7 @@ final class CrawlEngine(
 
       Seq(frontier, withAllowed, schedAll, sched, fetched, cand, newUrls)
         .foreach(_.unpersist())
+      seqCleanup() // release the round's pinned ranged layout (GlobalOrder)
       round = next
       true
     }

@@ -1,8 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Scalable deterministic global sequence numbers.
   *
@@ -10,36 +12,53 @@ import org.apache.spark.sql.functions._
   * scale, a non-starter on a 1000-executor cluster. This helper assigns the
   * identical total-order ranks with no single-partition stage:
   * range-repartition on the sort key, rank within each partition in
-  * parallel, then add per-partition offsets (a tiny collected count map).
+  * parallel (narrow sort + mapPartitions), then add per-partition offsets
+  * (a tiny collected count map).
   *
   * The sort key list MUST end in a unique column (the engine always ends
   * in `url_hash` — SURVEY.md §2.6 [PINNED]) so the total order, and hence
   * every seq value, is independent of partition boundaries.
+  *
+  * Determinism: RangePartitioner boundaries come from a sample whose seed
+  * varies per execution, so running the counts job and the final job
+  * against the same LAZY plan could use DIFFERENT boundaries once
+  * partitions exceed the sample size — offsets from job 1 would then
+  * mismatch ranks in job 2 (duplicate/skipped seq values). The ranged
+  * layout is therefore persisted and eagerly materialized by the counts
+  * job; every later job reads the pinned blocks (MEMORY_AND_DISK spills
+  * rather than evicts, so the layout survives memory pressure; block loss
+  * from executor death re-reads the retained shuffle output, which keeps
+  * the boundaries). The final rank pass is `sortWithinPartitions +
+  * mapPartitions` — a window over the partition id would re-shuffle the
+  * full dataset a second time.
   */
 object GlobalOrder {
 
-  def withSeq(df: DataFrame, sortCols: Seq[Column], seqCol: String, offset: Long = 0L): DataFrame = {
-    val P = df.sparkSession.sessionState.conf.numShufflePartitions
-    // Deterministic on recompute: RangePartitioner samples with a seed
-    // derived from the partition index, and the final seq values depend
-    // only on the total order (unique tail key), not on boundaries.
-    val ranged2 = df.repartitionByRange(P, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = ranged2.groupBy($(ranged2, "__pid")).count()
+  /** As [[withSeq]], returning also a cleanup thunk that unpersists the
+    * pinned ranged layout — call it once the result has been materialized
+    * (written or persisted) to bound cache growth in iterative callers. */
+  def withSeqHandle(df: DataFrame, sortCols: Seq[Column], seqCol: String,
+                    offset: Long = 0L): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val P = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(P, sortCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy(spark_partition_id().as("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // partitions produced by range partitioning are ordered by key range
     val pids = counts.keys.toSeq.sorted
-    val offsets = pids.scanLeft(offset) { case (acc, pid) => acc + counts(pid) }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = pids.zip(offsets).toDF("__pid", "__offset")
-    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged2
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn(seqCol, col("__rn") + col("__offset"))
-      .drop("__pid", "__rn", "__offset")
+    val offsets = pids.zip(pids.scanLeft(offset) { case (acc, pid) => acc + counts(pid) }).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(seqCol, LongType, nullable = false)
+    val out = ranged.sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        var seq = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+        it.map { r => seq += 1L; Row.fromSeq(r.toSeq :+ seq) }
+      }(Encoders.row(outSchema))
+    (out, () => { ranged.unpersist(false); () })
   }
 
-  private def $(df: DataFrame, name: String): Column = df.col(name)
+  /** One-shot form for single-use queries; the pinned layout stays cached
+    * for the session (use [[withSeqHandle]] in iterative callers). */
+  def withSeq(df: DataFrame, sortCols: Seq[Column], seqCol: String, offset: Long = 0L): DataFrame =
+    withSeqHandle(df, sortCols, seqCol, offset)._1
 }

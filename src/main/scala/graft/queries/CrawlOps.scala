@@ -180,7 +180,17 @@ object CrawlOps {
     }),
   )
 
+  /** Golden fixtures written by graft.oracle.GoldenOracles during Verify
+    * (independent sequential-model output — the DuckDB side of the
+    * driver's gate just reads them). */
+  private val GOLD = "/root/repo/target/golden/sf0.01"
+
   val oracle: Map[String, String] = Map(
+    "q09_crawl" ->
+      s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
+         |FROM read_parquet('$GOLD/q09_crawl.parquet/*.parquet')
+         |ORDER BY seq""".stripMargin,
+
     "q01_spans" ->
       s"""SELECT doc_id, span_idx, kind, media_ref, "offset", md5(text) AS text_md5 FROM (
          | SELECT doc_id, CAST(generate_subscripts(spans, 1) - 1 AS INT) AS span_idx,

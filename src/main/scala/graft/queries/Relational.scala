@@ -20,8 +20,13 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_price"),
+          // summed as DECIMAL (order-independent, exact), then cast to
+          // DOUBLE so the value REPRESENTATION reaching the driver's
+          // hasher is reader-independent: Spark's DECIMAL(28,2) parquet
+          // and DuckDB's native DECIMAL(38,2) sum stringify differently
+          // even when numerically identical (round-1 q10 hash mismatch)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -123,8 +128,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q10_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 

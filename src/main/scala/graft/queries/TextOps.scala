@@ -43,26 +43,44 @@ object TextOps {
       |UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz9 extra tail words' AS text
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  /** k MinHash signatures as md5 hex strings (lexicographic min over
-    * word-3-shingles), concatenated with '|'. */
-  private def minhashSig(text: Column, k: Int): Column = {
+  private def shingles3(text: Column): Column = {
     val ws = words(text)
     val n = size(ws)
-    val shingles = when(n >= 3,
+    when(n >= 3,
       transform(sequence(lit(1), n - 2), i =>
         concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array(concat_ws(" ", ws)))
-    val sigs = (0 until k).map { j =>
-      array_min(transform(shingles, sh => md5(concat(lit(s"$j|"), sh))))
-    }
-    concat_ws("|", sigs: _*)
+  }
+
+  /** k numeric MinHash signatures over word-3-shingles: ONE md5 per
+    * shingle, k hash functions derived arithmetically as h_j = a + j*b
+    * with a/b the first/second 56-bit halves of the digest (the classic
+    * two-hash construction — Kirsch–Mitzenmacher). Replaces the round-1
+    * eight-md5s-per-shingle form: ~8× less hashing in the hot path and
+    * still bit-reproducible in DuckDB (hex-literal casts). 56-bit halves
+    * keep a + 7b < 2^59, safe under ANSI LongType.
+    */
+  private def minhashSigs(text: Column, k: Int): Column = {
+    val sh = shingles3(text)
+    val a = (x: Column) => conv(substring(md5(x), 1, 14), 16, 10).cast("long")
+    val b = (x: Column) => conv(substring(md5(x), 17, 14), 16, 10).cast("long")
+    array((0 until k).map { j =>
+      array_min(transform(sh, x => a(x) + lit(j.toLong) * b(x)))
+    }: _*)
   }
 
   private def minhashSigSql(k: Int): String = {
-    // expects CTE alias `sh(doc_id, shingles)`
-    (0 until k).map(j => s"list_min(list_transform(shingles, x -> md5('$j|' || x)))")
+    // expects CTE alias `sh(doc_id, shingles)`; one element per hash fn
+    def aSql = "CAST('0x' || substr(md5(x), 1, 14) AS BIGINT)"
+    def bSql = "CAST('0x' || substr(md5(x), 17, 14) AS BIGINT)"
+    (0 until k)
+      .map(j => s"CAST(list_min(list_transform(shingles, x -> $aSql + $j * $bSql)) AS VARCHAR)")
       .mkString(" || '|' || ")
   }
+
+  private def minhashSigsSql(k: Int): String =
+    s"list_transform(range(0, $k), j -> list_min(list_transform(shingles, " +
+      "x -> CAST('0x' || substr(md5(x), 1, 14) AS BIGINT) + j * CAST('0x' || substr(md5(x), 17, 14) AS BIGINT))))"
 
   private val shinglesSqlCte: String =
     """WITH d AS (%s),
@@ -129,25 +147,38 @@ object TextOps {
     // MinHash signatures (k=8) over word-3-shingles
     "q24_minhash" -> ((s, dir) => {
       docsAugmented(s, dir)
-        .select(col("doc_id"), minhashSig(col("text"), 8).as("minhash"))
+        .select(col("doc_id"), minhashSigs(col("text"), 8).as("sigs"))
+        .select(col("doc_id"),
+          array_join(transform(col("sigs"), x => x.cast("string")), "|").as("minhash"))
         .orderBy("doc_id")
     }),
 
     // MinHash + LSH banding (4 bands × 2 rows) → candidate pairs →
-    // verified by word-set Jaccard ≥ 0.5
+    // verified by word-set Jaccard ≥ 0.5. Scale hygiene: the signature
+    // subtree is persisted AND eagerly materialized (round 1 left the
+    // cache unpopulated, so the 4-way fan-out recomputed the md5 subtree
+    // per branch — 121 s at sf0.1); band buckets larger than BUCKET_CAP
+    // are dropped before the self-join [PINNED — an adversarial corpus of
+    // near-identical docs would otherwise make the bucket join quadratic
+    // in the largest bucket; the same cap is applied in the oracle SQL].
     "q25_lsh_pairs" -> ((s, dir) => {
+      val BUCKET_CAP = 64
       val base = docsAugmented(s, dir)
       val ws = words(col("text"))
-      // materialize signatures ONCE — the band fanout + self-join would
-      // otherwise recompute the whole minhash subtree 8×
       val sigged = base.select(col("doc_id"), array_distinct(ws).as("wset"),
-        split(minhashSig(col("text"), 8), "\\|").as("sigs")).persist()
+        minhashSigs(col("text"), 8).as("sigs")).persist()
+      sigged.count() // materialize before the fan-out
       val banded = sigged.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
-          md5(concat(element_at(col("sigs"), b * 2 + 1), element_at(col("sigs"), b * 2 + 2)))))
+          md5(concat(element_at(col("sigs"), b * 2 + 1).cast("string"), lit("_"),
+            element_at(col("sigs"), b * 2 + 2).cast("string")))))
           .as(Seq("band_id", "band_key")))
-      val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+      // mega-bucket cap: hot buckets are few — broadcast anti-join them out
+      val hot = banded.groupBy("band_id", "band_key").count()
+        .filter(col("count") > BUCKET_CAP).select("band_id", "band_key")
+      val pruned = banded.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
+      val a = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      val b = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
       // candidate pairs on ids only (cheap distinct), word sets joined back
       val pairs = a.join(b, Seq("band_id", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
@@ -246,16 +277,18 @@ object TextOps {
 
     "q25_lsh_pairs" ->
       (shinglesSqlCte.format(docsAugmentedSql) +
-        """,
-          |sig AS (SELECT doc_id, list_transform(range(0, 8),
-          |   j -> list_min(list_transform(shingles, x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS sigs
-          | FROM sh),
+        s""",
+          |sig AS (SELECT doc_id, ${minhashSigsSql(8)} AS sigs FROM sh),
           |wsets AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
           | FROM (%s)),
-          |banded AS (SELECT doc_id, b AS band_id, md5(sigs[2*b+1] || sigs[2*b+2]) AS band_key
+          |banded AS (SELECT doc_id, b AS band_id,
+          |  md5(CAST(sigs[2*b+1] AS VARCHAR) || '_' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_key
           | FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+          |hot AS (SELECT band_id, band_key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 64),
+          |pruned AS (SELECT * FROM banded bd WHERE NOT EXISTS (
+          |  SELECT 1 FROM hot h WHERE h.band_id = bd.band_id AND h.band_key = bd.band_key)),
           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          | FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+          | FROM pruned a JOIN pruned b ON a.band_id = b.band_id AND a.band_key = b.band_key
           | WHERE a.doc_id < b.doc_id)
           |SELECT doc_a, doc_b,
           | round(len(list_intersect(wa.wset, wb.wset)) * 1.0

@@ -116,11 +116,15 @@ object VectorOps {
           .groupBy("vec_id")
           .agg(min(struct(col("d2"), col("cid"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"))
-      // one Lloyd step: element-wise mean per cell
+      // one Lloyd step: element-wise mean per cell. The sum goes through
+      // DECIMAL so it is order-independent (a double sum's value depends
+      // on shuffle arrival order) — the q35 result is then exactly
+      // reproducible by the independent golden oracle (GoldenOracles).
       val cents1 = assign(seeds0)
         .join(emb, Seq("vec_id"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1))).as("x"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
         .select(col("cid"), transform(col("px"), p => p.getField("x")).as("c"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -158,7 +162,21 @@ object VectorOps {
     }),
   )
 
+  /** Golden fixtures from the independent plain-Scala ANN model
+    * (graft.oracle.GoldenOracles), written during Verify. */
+  private val GOLD = "/root/repo/target/golden/sf0.01"
+
   val oracle: Map[String, String] = Map(
+    "q29_ann_lsh" ->
+      s"""SELECT query_id, rank, neighbor_id, cos4
+         |FROM read_parquet('$GOLD/q29_ann_lsh.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q35_ann_ivf" ->
+      s"""SELECT query_id, rank, neighbor_id, cos4
+         |FROM read_parquet('$GOLD/q35_ann_ivf.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q28_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cos4 FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -243,6 +243,13 @@ object UrlCanon {
       found
     }
     if (at >= 0) j = at + 1
+    // IPv6 bracket literal: host runs to the matching ']' (inclusive),
+    // matching normAuthority — a ':' inside the brackets is part of the
+    // address, not a port separator
+    if (j < canonical.length && canonical.charAt(j) == '[') {
+      val close = canonical.indexOf(']', j)
+      if (close >= 0) return canonical.substring(j, close + 1)
+    }
     var end = j
     while (end < canonical.length && canonical.charAt(end) != '/' &&
       canonical.charAt(end) != ':' && canonical.charAt(end) != '?') end += 1

@@ -60,9 +60,13 @@ class PlanShapeSpec extends SparkTestBase {
       CorpusGen.hosting(spark, fx).select("url_canon", "host", "page_hash"),
       Seq(col("host"), col("page_hash")), "seq")
     val p = plan(df)
-    assert(p.contains("hashpartitioning(__pid"), s"expected per-pid window:\n$p")
-    // the only range exchange is the explicit repartitionByRange
-    assert(p.contains("rangepartitioning(host"), p)
+    // the rank pass is a narrow mapPartitions over the pinned
+    // range-partitioned cache — no Window at all (a per-pid window would
+    // re-shuffle; a global window would single-partition)
+    assert(p.contains("MapPartitions"), s"expected narrow rank pass:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"expected pinned ranged layout:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(!p.contains("Scan ExistingRDD"), s"no RDD scan expected:\n$p")
   }
 
   test("GlobalOrder seq equals a naive single-partition row_number") {

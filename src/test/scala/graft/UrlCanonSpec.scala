@@ -98,6 +98,26 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(UrlCanon.pathOf("https://h.example") == "/")
   }
 
+  // RFC 3986 §3.2.2 bracket literals: hostOf must agree with the
+  // canonicalizer's normAuthority (round-1 bug: hostOf stopped at the
+  // first ':' and returned "[" for IPv6 hosts)
+  test("IPv6 bracket-literal hosts: canonicalize and hostOf agree") {
+    assert(UrlCanon.canonicalize("http://[::1]/x") == "http://[::1]/x")
+    assert(UrlCanon.canonicalize("http://[2001:DB8::7]:80/a/../b?q") == "http://[2001:db8::7]/b?q")
+    assert(UrlCanon.hostOf("http://[::1]/x") == "[::1]")
+    assert(UrlCanon.hostOf("http://[2001:db8::7]/b?q") == "[2001:db8::7]")
+    assert(UrlCanon.hostOf("http://[::1]:8080/x") == "[::1]")
+    assert(UrlCanon.pathOf("http://[::1]/x") == "/x")
+    // hostOf(canonicalize(u)) is the politeness/robots key — must be
+    // consistent for every canonicalizable URL shape
+    Seq("http://[::1]/x", "http://[2001:db8::7]:9090/p?q", "http://u@[::1]/y").foreach { u =>
+      val c = UrlCanon.canonicalize(u)
+      assert(c != null, u)
+      assert(UrlCanon.hostOf(c).startsWith("["), s"u=$u c=$c host=${UrlCanon.hostOf(c)}")
+      assert(UrlCanon.hostOf(c).endsWith("]"), s"u=$u c=$c")
+    }
+  }
+
   test("extraction grammar: absolute, href, relative, trailing punctuation, order") {
     val text =
       """intro https://a.example/p1. then <a href="https://b.example/p2">x</a> """ +
