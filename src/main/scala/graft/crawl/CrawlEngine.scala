@@ -15,14 +15,28 @@ import org.apache.spark.storage.StorageLevel
   * fetch (hosting join) → span emission → link extraction + RFC 3986
   * canonicalization → intra-round dedup → two-phase seen-set anti-join →
   * frontier_{R+1}; every round commits an Iceberg-style snapshot
-  * (frontier, seen delta, fetch log, bloom shards, host-ready state,
-  * per-partition lineage + metrics) and the next round reads it back —
-  * breaking lineage (the iterative-Spark plan-explosion fix) and making
-  * the run resumable from any committed round (BASELINE.json:14).
+  * (frontier, seen delta, fetch log, bloom shard files, host-ready
+  * Dataset, per-partition lineage + metrics) and the next round reads it
+  * back — breaking lineage (the iterative-Spark plan-explosion fix) and
+  * making the run resumable from any committed round (BASELINE.json:14).
+  *
+  * Scale posture after the round-1 review:
+  *  - NO per-round O(#hosts) driver collects: host-ready state is a
+  *    parquet Dataset in the snapshot (round 1 held a driver map), the
+  *    denied/carried counts come from count arithmetic on counts the
+  *    ordering pass already produced, and status metrics collect ≤4 rows.
+  *  - NO whole-shard-set broadcast and no bloom-blob round-trip through
+  *    the driver: candidates are co-partitioned by pmod(url_hash, P) and
+  *    probed by the codegen BloomMightContain expression against lazily
+  *    loaded executor-resident shard files; shard build/merge also runs
+  *    executor-side (SeenSet.buildShards).
+  *  - The only driver-resident host state is the broadcast robots rule
+  *    index (J2's design: rules ≪ frontier) and the tiny per-shard
+  *    lineage counts.
   *
   * All ordering choices ([PINNED], SURVEY.md §0) are mirrored exactly by
-  * the sequential oracle in the test tree; `sbt -batch test` asserts
-  * crawl order, final seen set and span sequences are identical.
+  * the sequential oracle (graft.oracle.CrawlOracle); `sbt -batch test`
+  * asserts crawl order, final seen set and span sequences are identical.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -66,6 +80,11 @@ final class CrawlEngine(
   }
 
   private lazy val robotsIndex = new RobotsIndex(rulesByHost)
+
+  /** (host, delay_ms) — derived from the one-time robots collect. */
+  private lazy val delaysDf: DataFrame =
+    delayByHost.toSeq.sortBy(_._1).toDF("host", "delay_ms")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   // ---- public API ------------------------------------------------------
 
@@ -116,16 +135,18 @@ final class CrawlEngine(
     val delta = spark.read.parquet(store.frontierPath(0))
       .select(col("url_hash"), col("url_canon"), lit(0).as("first_round"))
     delta.write.mode("overwrite").parquet(store.seenDeltaPath(0))
-    val blooms = BloomShards.empty(cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
-    SeenSet.addToShards(spark, delta.select("url_hash"), blooms,
-      cfg.bloomShardCapacity, cfg.bloomFpp)
-    blooms.writeTo(store.bloomsPath(0))
-    store.writeHostReady(0, Map.empty)
-    val lineage = bucketCounts(delta)
+    val (bloomPaths, lineage) =
+      if (cfg.useBloom)
+        SeenSet.buildShards(spark, spark.read.parquet(store.seenDeltaPath(0)).select("url_hash"),
+          None, store.bloomsDir(0), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
+      else (Array.empty[String], bucketCounts(spark.read.parquet(store.seenDeltaPath(0))))
+    Seq.empty[(String, Long)].toDF("host", "ready_ts")
+      .write.mode("overwrite").parquet(store.hostReadyPath(0))
     val nSeeds = lineage.sum
     store.commit(store.entryJson(0, -1,
       Map("frontier" -> nSeeds, "seen_delta" -> nSeeds, "fetchlog" -> 0L),
-      lineage, Map("fetched_total" -> 0.0), Seq(store.seenDeltaPath(0))))
+      lineage, Map("fetched_total" -> 0.0), Seq(store.seenDeltaPath(0)),
+      bloomPaths.toSeq))
   }
 
   private def bucketCounts(df: DataFrame): Seq[Long] = {
@@ -139,14 +160,19 @@ final class CrawlEngine(
   private def loop(maxRounds: Int): CrawlSummary = {
     var round = store.lastCommitted().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
-    var hostReady = store.readHostReady(round)
+    var hostReadyDf = spark.read.parquet(store.hostReadyPath(round))
     var seenPaths: Seq[String] = store.liveSeenPaths()
-    var blooms =
-      if (cfg.useBloom) Some(BloomShards.readFrom(store.bloomsPath(round))) else None
-    var fetchedSoFar = store.readManifest()
+    var bloomReader: Option[BloomShardReader] =
+      if (cfg.useBloom) Some(new BloomShardReader(store.liveBloomPaths())) else None
+    val lastEntry = store.readManifest().lastOption
+    var fetchedSoFar = lastEntry
       .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
         .get("fetched_total").asInstanceOf[Number].longValue())
-      .lastOption.getOrElse(0L)
+      .getOrElse(0L)
+    var frontierRows = lastEntry
+      .map(_("rows").asInstanceOf[java.util.Map[String, Any]]
+        .get("frontier").asInstanceOf[Number].longValue())
+      .getOrElse(0L)
     var roundsRun = 0
 
     while (roundsRun < maxRounds && fetchedSoFar < cfg.totalBudget && step()) {
@@ -156,26 +182,20 @@ final class CrawlEngine(
     def step(): Boolean = {
       val t0 = System.nanoTime()
       val frontier = spark.read.parquet(store.frontierPath(round))
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // P4: robots filter — longest-prefix-match via a codegen'd
-      // expression over the compiled rule index (no UDF in the hot path);
-      // one stats job yields denied + frontier-empty in a single pass
-      val withAllowed = frontier
+      // expression over the compiled rule index (no UDF in the hot path)
+      val allowed = frontier
         .withColumn("__allowed", Shim.col(RobotsAllows(
           Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val allowedCounts = withAllowed.groupBy("__allowed").count()
-        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      if (allowedCounts.values.sum == 0L) { frontier.unpersist(); withAllowed.unpersist(); return false }
-      val allowed = withAllowed.filter(col("__allowed")).drop("__allowed")
-      val deniedCount = allowedCounts.getOrElse(false, 0L)
+        .filter(col("__allowed")).drop("__allowed")
 
       // W1/Q1: politeness schedule
-      val hostMeta = hostMetaDf(hostReady)
+      val hostMeta = hostMetaDf(hostReadyDf)
       val schedAll = (
         if (cfg.typedHeapScheduler)
-          Scheduler.typedHeap(spark, allowed, delayByHost, hostReady, cfg.defaultDelayMs)
+          Scheduler.typedHeap(spark, allowed, delayByHost, collectHostReady(hostReadyDf),
+            cfg.defaultDelayMs)
         else if (cfg.saltedScheduler)
           Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs)
         else
@@ -186,13 +206,21 @@ final class CrawlEngine(
         .select("url_canon", "url_hash", "host", "depth")
       val withinHostCap = schedAll.filter(col("rn") <= cfg.perHostPerRound)
 
-      // O1/O2: global crawl order + budget truncation (scalable two-phase seq)
-      val (seqDf, seqCleanup) = GlobalOrder.withSeqHandle(withinHostCap,
+      // O1/O2: global crawl order + budget truncation. The ordering
+      // pass's counts job materializes the whole scheduling subtree and
+      // hands back the scheduled row count for free — the empty-frontier
+      // stop and the fetched count need no further jobs.
+      val seqRes = GlobalOrder.withSeqHandle(withinHostCap,
         Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
-      val sched = seqDf.filter(col("seq") <= cfg.totalBudget)
+      if (seqRes.rows == 0L) {
+        schedAll.unpersist(); seqRes.cleanup()
+        return false
+      }
+      val schedCount = math.min(seqRes.rows, cfg.totalBudget - fetchedSoFar)
+      val sched = seqRes.df.filter(col("seq") <= cfg.totalBudget)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // J3: simulated fetch
+      // J3: simulated fetch → fetch-log sink (1st heavy action)
       val fetched = sched.join(
           hosting.select(col("page_hash"), col("doc_id"), col("status")),
           sched("url_hash") === col("page_hash"), "left")
@@ -201,18 +229,18 @@ final class CrawlEngine(
         .withColumn("doc_id", coalesce(col("doc_id"), lit("")))
         .withColumn("round", lit(round))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
+          "rn", "fetch_ts", "status", "doc_id")
+        .write.mode("overwrite").parquet(store.fetchLogPath(round))
 
-      // one stats pass: per-(host, status) counts feed the status metrics,
-      // the scheduled count, AND the host-ready advance
-      val hostStatus = fetched.groupBy("host", "status").count()
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val statusCounts = hostStatus.groupBy(_._2).map { case (st, xs) => st -> xs.map(_._3).sum }
-      val perHostFetched = hostStatus.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._3).sum }
-      val schedCount = statusCounts.values.sum
-      if (schedCount == 0L) {
-        Seq(frontier, withAllowed, schedAll, sched, fetched).foreach(_.unpersist())
-        return false
-      }
+      // status metrics: ≤4 rows off the fetched cache. Denied/carried
+      // come from count arithmetic (no per-host collects — round 1
+      // pulled per-(host,status) counts to the driver every round).
+      val statusCounts = fetched.groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val schedAllCount = schedAll.count()
+      val deniedCount = math.max(0L, frontierRows - schedAllCount)
+      val carriedCount = schedAllCount - seqRes.rows
 
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
       val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
@@ -228,10 +256,14 @@ final class CrawlEngine(
         .filter(col("depth") + 1 <= cfg.maxDepth)
 
       // J5: intra-round dedup — first discovery wins
-      // [PINNED: min (seq, span_idx, link_pos)]
+      // [PINNED: min (seq, span_idx, link_pos)]. The explicit pmod
+      // repartition serves the groupBy (pmod(url_hash) clusters url_hash)
+      // AND co-locates candidates with their bloom shard for the probe.
       val cand = links
         .withColumn("url_hash", xxhash64(col("link_canon")))
-        .groupBy(col("url_hash"))
+        .withColumn("__b", pmod(col("url_hash"), lit(cfg.partitions.toLong)))
+        .repartition(cfg.partitions, col("__b"))
+        .groupBy(col("__b"), col("url_hash"))
         .agg(min(struct(col("seq"), col("span_idx"), col("link_pos"),
           col("link_canon"), col("depth"))).as("f"))
         .select(col("url_hash"), col("f.link_canon").as("url_canon"),
@@ -240,31 +272,27 @@ final class CrawlEngine(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val candCount = cand.count()
 
-      // J1: two-phase seen-set dedup (bloom prefilter + exact anti-join)
+      // J1: two-phase seen-set dedup (shard-aligned bloom prefilter +
+      // exact anti-join)
       val seenDf = spark.read.parquet(seenPaths: _*)
-      val newUrls = SeenSet.newUrls(spark, cand, seenDf, blooms)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (newUrlsDf, probeCleanup) = SeenSet.newUrls(spark, cand, seenDf, bloomReader)
+      val newUrls = newUrlsDf.persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- commit round R+1 snapshot ----
       val next = round + 1
-      fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
-          "rn", "fetch_ts", "status", "doc_id")
-        .write.mode("overwrite").parquet(store.fetchLogPath(round))
-
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
       delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
       val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
-      // per-partition lineage comes for free from the bloom-shard build
-      // (same pmod(url_hash, P) sharding) — no separate counting job
-      val lineage = blooms match {
-        case Some(b) =>
-          val l = SeenSet.addToShards(spark, deltaBack.select("url_hash"), b,
-            cfg.bloomShardCapacity, cfg.bloomFpp)
-          b.writeTo(store.bloomsPath(next))
-          l
-        case None => bucketCounts(deltaBack)
+      // per-partition lineage comes for free from the executor-side
+      // bloom-shard build (same pmod(url_hash, P) sharding)
+      val (bloomPaths, lineage) = bloomReader match {
+        case Some(rd) =>
+          SeenSet.buildShards(spark, deltaBack.select("url_hash"), Some(rd),
+            store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
+        case None => (Array.empty[String], bucketCounts(deltaBack))
       }
+      if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths))
       val newCount = lineage.sum
 
       // Iceberg-style compaction: fold the delta chain into one base file
@@ -283,16 +311,21 @@ final class CrawlEngine(
       val nextFrontier = carried.unionByName(
         newUrls.select("url_canon", "url_hash", "host", "depth"))
       nextFrontier.write.mode("overwrite").parquet(store.frontierPath(next))
-      val carriedCount = spark.read.parquet(store.frontierPath(next)).count() - newCount
 
-      // host-ready advance: ready' = ready + fetched_this_round * delay
-      hostReady = hostReady ++ perHostFetched.map { case (h, cnt) =>
-        val d = delayByHost.getOrElse(h, cfg.defaultDelayMs)
-        h -> (hostReady.getOrElse(h, 0L) + cnt * d)
-      }
-      store.writeHostReady(next, hostReady)
+      // host-ready advance: ready' = ready + fetched_this_round * delay —
+      // a Dataset job, written to the snapshot (no driver map)
+      val perHost = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
+      hostReadyDf.join(perHost, Seq("host"), "full_outer")
+        .join(delaysDf, Seq("host"), "left")
+        .select(col("host"),
+          (coalesce(col("ready_ts"), lit(0L)) +
+            coalesce(col("cnt"), lit(0L)) *
+              coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("ready_ts"))
+        .write.mode("overwrite").parquet(store.hostReadyPath(next))
+      hostReadyDf = spark.read.parquet(store.hostReadyPath(next))
 
       fetchedSoFar += schedCount
+      frontierRows = carriedCount + newCount
       val elapsedSec = (System.nanoTime() - t0) / 1e9
       val metrics = Map(
         "fetched_total" -> fetchedSoFar.toDouble,
@@ -307,13 +340,13 @@ final class CrawlEngine(
         "round_sec" -> elapsedSec,
         "urls_per_sec" -> ((schedCount + candCount) / math.max(elapsedSec, 1e-9)))
       store.commit(store.entryJson(next, round,
-        Map("frontier" -> (carriedCount + newCount), "seen_delta" -> newCount,
+        Map("frontier" -> frontierRows, "seen_delta" -> newCount,
           "fetchlog" -> schedCount),
-        lineage, metrics, seenPaths))
+        lineage, metrics, seenPaths, bloomPaths.toSeq))
 
-      Seq(frontier, withAllowed, schedAll, sched, fetched, cand, newUrls)
-        .foreach(_.unpersist())
-      seqCleanup() // release the round's pinned ranged layout (GlobalOrder)
+      Seq(schedAll, sched, fetched, cand, newUrls).foreach(_.unpersist())
+      seqRes.cleanup() // release the round's pinned ranged layout
+      probeCleanup()   // release the bloom probe-stage cache
       round = next
       true
     }
@@ -321,12 +354,16 @@ final class CrawlEngine(
     CrawlSummary(round, fetchedSoFar, seen().count(), snapshotRoot)
   }
 
-  private def hostMetaDf(hostReady: Map[String, Long]): DataFrame = {
-    val rows = delayByHost.keySet.union(hostReady.keySet).toSeq.sorted.map { h =>
-      (h, delayByHost.getOrElse(h, cfg.defaultDelayMs), hostReady.getOrElse(h, 0L))
-    }
-    rows.toDF("host", "delay_ms", "ready_ts")
-  }
+  /** hostMeta = delays ⟗ ready, both small Datasets (broadcast by the
+    * scheduler); defaults applied at use site. */
+  private def hostMetaDf(readyDf: DataFrame): DataFrame =
+    delaysDf.join(readyDf, Seq("host"), "full_outer")
+      .select(col("host"), col("delay_ms"), col("ready_ts"))
+
+  /** Sandbox-scale fast path for the typed-heap scheduler only (Q1 needs
+    * in-memory maps); the window/salted schedulers never collect this. */
+  private def collectHostReady(readyDf: DataFrame): Map[String, Long] =
+    readyDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 }
 
 final case class CrawlSummary(rounds: Int, totalFetched: Long, totalSeen: Long, snapshotRoot: String)

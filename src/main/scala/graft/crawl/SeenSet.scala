@@ -1,115 +1,152 @@
 package graft.crawl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftinternal.Shim
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
 
 /** The URL-seen set (BASELINE.json:6): "partitioned bloom/cuckoo URL-seen
   * set as broadcast + per-partition shards", with the exact Dataset of
   * url_hash as the authoritative tier (final equality to the oracle must
   * be exact — BASELINE.json:14; the bloom is only a prefilter).
   *
-  * Shard i holds the hashes with `pmod(url_hash, P) == i`. A candidate
-  * whose shard says "not contained" is DEFINITELY new (blooms have no
-  * false negatives) and skips the anti-join entirely; only the ~1%
-  * maybe-seen remainder joins the exact set. At 10^10-URL scale that
-  * turns an 80 GB shuffle join into a broadcast probe + a 1%-sized join
-  * (SURVEY.md §4 sizing).
+  * Shard i holds the hashes with `pmod(url_hash, P) == i` and lives as
+  * ONE immutable file per round on shared storage (the snapshot dir).
+  * Round-1 design review flagged two scale-killers that this layout
+  * removes:
+  *  - the whole shard set was broadcast to every executor (~12 GB at the
+  *    SURVEY 10^10-URL sizing — an impossible broadcast). Now candidates
+  *    are co-partitioned by `pmod(url_hash, P)` and each task lazily
+  *    loads only the shards its partition probes, via an executor-level
+  *    cache ([[BloomShardCache]]);
+  *  - every round's partial shard blobs were `collect()`ed to the driver
+  *    for merging (multi-GB round-trip). Now the merge happens ON the
+  *    executors: each builder task reads its shard's previous file,
+  *    folds the new hashes in, and writes the next immutable version;
+  *    only (shard, count) lineage pairs reach the driver.
   */
-final class BloomShards(val P: Int, val filters: Array[BloomFilter]) extends Serializable {
+final class BloomShardReader(val paths: Array[String]) extends Serializable {
+  def P: Int = paths.length
   def shardOf(h: Long): Int = (((h % P) + P) % P).toInt
-  def mightContain(h: Long): Boolean = filters(shardOf(h)).mightContainLong(h)
 
-  def put(h: Long): Unit = filters(shardOf(h)).putLong(h)
-
-  /** In-place merge of partial shard blobs built by executors. */
-  def mergeBlob(pid: Int, blob: Array[Byte]): Unit = {
-    val bf = BloomFilter.readFrom(new ByteArrayInputStream(blob))
-    filters(pid).mergeInPlace(bf)
-  }
-
-  def writeTo(path: String): Unit = {
-    Files.createDirectories(Paths.get(path).getParent)
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
-    try {
-      out.writeInt(P)
-      filters.foreach { f =>
-        val bos = new ByteArrayOutputStream()
-        f.writeTo(bos)
-        val bytes = bos.toByteArray
-        out.writeInt(bytes.length)
-        out.write(bytes)
-      }
-    } finally out.close()
+  /** No false negatives: a null path means the shard has never been
+    * written (nothing inserted) ⇒ definitely not contained. */
+  def mightContain(h: Long): Boolean = {
+    val p = paths(shardOf(h))
+    p != null && BloomShardCache.get(p).mightContainLong(h)
   }
 }
 
-object BloomShards {
-  def empty(P: Int, capacityPerShard: Long, fpp: Double): BloomShards =
-    new BloomShards(P, Array.fill(P)(BloomFilter.create(capacityPerShard, fpp)))
+/** Executor(JVM)-level shard file cache: tasks of the same executor share
+  * loaded shards; a bounded LRU keeps superseded round versions from
+  * accumulating over a long crawl. */
+object BloomShardCache {
+  private val MaxEntries = 128
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, BloomFilter](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+        size() > MaxEntries
+    })
 
-  def readFrom(path: String): BloomShards = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    try {
-      val p = in.readInt()
-      val filters = Array.fill(p) {
-        val len = in.readInt()
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      }
-      new BloomShards(p, filters)
-    } finally in.close()
+  def get(path: String): BloomFilter = {
+    val hit = cache.get(path)
+    if (hit != null) return hit
+    val in = new BufferedInputStream(Files.newInputStream(Paths.get(path)))
+    val bf = try BloomFilter.readFrom(in) finally in.close()
+    cache.put(path, bf)
+    bf
   }
+}
+
+/** `bloom_might_contain(url_hash)` — full-codegen probe of the shard set
+  * (mirrors RobotsAllows; round 1 used a Scala UDF here, forcing an eval
+  * fallback in the crawl's hottest filter). */
+case class BloomMightContain(child: Expression, reader: BloomShardReader)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(h: Any): Any =
+    reader.mightContain(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomShardReader", reader, "graft.crawl.BloomShardReader")
+    defineCodeGen(ctx, ev, h => s"$ref.mightContain($h)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
 }
 
 object SeenSet {
 
-  /** Build partial per-shard blooms for `hashes` (a single-column
-    * DataFrame of url_hash) on the executors, merge into `target` on the
-    * driver. One shuffle keyed by shard id; bloom build streams the
-    * iterator (O(shard bytes) memory). Returns per-shard row counts —
-    * exactly the per-partition lineage the snapshot manifest records, so
-    * the engine needs no separate counting job. */
-  def addToShards(spark: SparkSession, hashes: DataFrame, target: BloomShards,
-                  capacityPerShard: Long, fpp: Double): Seq[Long] = {
+  /** Build/merge per-shard blooms on the executors. Each group task owns
+    * one shard id, folds that shard's new hashes into the previous
+    * round's file (if any) and writes the next round's file atomically
+    * (unique temp + rename — idempotent under task retry). Returns the
+    * per-shard file paths of the NEW shard-set version (untouched shards
+    * keep their previous file — no copying) and per-shard row counts:
+    * exactly the per-partition lineage the snapshot manifest records. */
+  def buildShards(spark: SparkSession, hashes: DataFrame, prev: Option[BloomShardReader],
+                  outDir: String, P: Int, capacityPerShard: Long, fpp: Double): (Array[String], Seq[Long]) = {
     import spark.implicits._
-    val p = target.P
-    val partials = hashes.select(col("url_hash"))
-      .as[Long]
-      .groupByKey(h => (((h % p) + p) % p).toInt)
+    Files.createDirectories(Paths.get(outDir))
+    val prevPaths: Array[String] = prev.map(_.paths).getOrElse(Array.fill[String](P)(null))
+    require(prevPaths.length == P, s"shard count changed: ${prevPaths.length} != $P")
+    val bcPrev = spark.sparkContext.broadcast(prevPaths)
+    val updated = hashes.select(col("url_hash")).as[Long]
+      .groupByKey(h => (((h % P) + P) % P).toInt)
       .mapGroups { (pid, it) =>
-        val bf = BloomFilter.create(capacityPerShard, fpp)
+        val prevPath = bcPrev.value(pid)
+        val bf =
+          if (prevPath != null) {
+            val in = new BufferedInputStream(Files.newInputStream(Paths.get(prevPath)))
+            try BloomFilter.readFrom(in) finally in.close()
+          } else BloomFilter.create(capacityPerShard, fpp)
         var n = 0L
         it.foreach { h => bf.putLong(h); n += 1 }
-        val bos = new ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (pid, bos.toByteArray, n)
+        val tmp = Paths.get(s"$outDir/.shard-$pid.${UUID.randomUUID()}.tmp")
+        val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+        try bf.writeTo(out) finally out.close()
+        Files.move(tmp, Paths.get(s"$outDir/shard-$pid.bin"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        (pid, n)
       }
       .collect()
-    partials.foreach { case (pid, blob, _) => target.mergeBlob(pid, blob) }
-    val byPid = partials.map(t => t._1 -> t._3).toMap
-    (0 until p).map(i => byPid.getOrElse(i, 0L))
+    val paths = prevPaths.clone()
+    updated.foreach { case (pid, _) => paths(pid) = s"$outDir/shard-$pid.bin" }
+    val byPid = updated.map(t => t._1 -> t._2).toMap
+    (paths, (0 until P).map(i => byPid.getOrElse(i, 0L)))
   }
 
   /** J1 two-phase dedup: rows of `cand` whose url_hash is NOT in the seen
     * set. Bloom-negative rows bypass the join (no false negatives);
-    * bloom-positive rows are exactly anti-joined against `seen`. */
+    * bloom-positive rows are exactly anti-joined against `seen`. The
+    * probe is the codegen [[BloomMightContain]] expression; callers
+    * should co-partition `cand` by `pmod(url_hash, P)` so each executor
+    * loads only its own shards. Returns the result plus a cleanup thunk
+    * releasing the probe-stage cache — call it once the result has been
+    * materialized (round 1 leaked one cached frame per crawl round). */
   def newUrls(spark: SparkSession, cand: DataFrame, seen: DataFrame,
-              blooms: Option[BloomShards]): DataFrame = {
-    blooms match {
-      case Some(b) =>
-        val bc = spark.sparkContext.broadcast(b)
-        val might = udf((h: Long) => bc.value.mightContain(h))
-        val tagged = cand.withColumn("__maybe", might(col("url_hash"))).persist()
+              reader: Option[BloomShardReader]): (DataFrame, () => Unit) = {
+    reader match {
+      case Some(rd) =>
+        val probe = Shim.col(BloomMightContain(Shim.expr(col("url_hash")), rd))
+        val tagged = cand.withColumn("__maybe", probe).persist(StorageLevel.MEMORY_AND_DISK)
         val definitelyNew = tagged.filter(!col("__maybe")).drop("__maybe")
         val maybeSeen = tagged.filter(col("__maybe")).drop("__maybe")
           .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-        definitelyNew.unionByName(maybeSeen)
+        (definitelyNew.unionByName(maybeSeen), () => { tagged.unpersist(false); () })
       case None =>
-        cand.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+        (cand.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"), () => ())
     }
   }
 }

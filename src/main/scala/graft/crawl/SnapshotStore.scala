@@ -19,8 +19,14 @@ import scala.jdk.CollectionConverters._
   *   round=R/seen_delta/     parquet — url hashes first seen in round R-1's
   *                           expansion (round 0 delta = the seed list)
   *   round=R/fetchlog/       parquet — fetches performed in round R
-  *   round=R/blooms.bin      serialized bloom shards as of round R
-  *   round=R/hostready.json  per-host virtual ready time entering round R
+  *   round=R/blooms/         one immutable file per bloom shard UPDATED in
+  *                           round R; the manifest's bloom_paths array maps
+  *                           every shard id to its current file (untouched
+  *                           shards keep pointing at older rounds' files —
+  *                           no per-round copying)
+  *   round=R/hostready/      parquet — per-host virtual ready time entering
+  *                           round R (a Dataset, not a driver map: 10^7+
+  *                           hosts at web scale)
   * }}}
   *
   * A round is visible iff its manifest line is present; partially-written
@@ -37,8 +43,8 @@ final class SnapshotStore(val root: String) {
   def seenDeltaPath(r: Int): String = s"${roundDir(r)}/seen_delta"
   def seenBasePath(r: Int): String = s"${roundDir(r)}/seen_base"
   def fetchLogPath(r: Int): String = s"${roundDir(r)}/fetchlog"
-  def bloomsPath(r: Int): String = s"${roundDir(r)}/blooms.bin"
-  def hostReadyPath(r: Int): Path = Paths.get(roundDir(r), "hostready.json")
+  def bloomsDir(r: Int): String = s"${roundDir(r)}/blooms"
+  def hostReadyPath(r: Int): String = s"${roundDir(r)}/hostready"
 
   def wipe(): Unit = {
     def rm(p: Path): Unit = {
@@ -81,26 +87,14 @@ final class SnapshotStore(val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def writeHostReady(r: Int, ready: Map[String, Long]): Unit = {
-    Files.createDirectories(Paths.get(roundDir(r)))
-    val m = new java.util.LinkedHashMap[String, Long]()
-    ready.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
-    Files.write(hostReadyPath(r), mapper.writeValueAsBytes(m))
-  }
-
-  def readHostReady(r: Int): Map[String, Long] = {
-    if (!Files.exists(hostReadyPath(r))) return Map.empty
-    mapper.readValue(hostReadyPath(r).toFile, classOf[java.util.Map[String, Number]])
-      .asScala.map { case (k, v) => k -> v.longValue() }.toMap
-  }
-
   /** Serialize one manifest entry. `lineage` carries per-partition
-    * (pmod(url_hash, P) bucket) row counts of the seen delta, and
-    * `seenPaths` the live seen-set files after compaction —
+    * (pmod(url_hash, P) bucket) row counts of the seen delta,
+    * `seenPaths` the live seen-set files after compaction, and
+    * `bloomPaths` the current file of every bloom shard —
     * BASELINE.json:14 "per-partition lineage + metrics". */
   def entryJson(round: Int, parent: Int, rows: Map[String, Long],
                 lineage: Seq[Long], metrics: Map[String, Double],
-                seenPaths: Seq[String]): String = {
+                seenPaths: Seq[String], bloomPaths: Seq[String] = Seq.empty): String = {
     val node = mapper.createObjectNode()
     node.put("round", round)
     node.put("parent", parent)
@@ -110,6 +104,8 @@ final class SnapshotStore(val root: String) {
     lineage.foreach(lin.add)
     val sp = node.putArray("seen_paths")
     seenPaths.foreach(sp.add)
+    val bp = node.putArray("bloom_paths")
+    bloomPaths.foreach(p => if (p == null) bp.addNull() else bp.add(p))
     val met = node.putObject("metrics")
     metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
     mapper.writeValueAsString(node)
@@ -120,4 +116,11 @@ final class SnapshotStore(val root: String) {
     readManifest().lastOption.map(
       _("seen_paths").asInstanceOf[java.util.List[String]]
         .asScala.toSeq).getOrElse(Seq.empty)
+
+  /** Per-shard bloom file paths as of the last committed round (null
+    * entries = never-written shards); empty when blooms are disabled. */
+  def liveBloomPaths(): Array[String] =
+    readManifest().lastOption.map(
+      _("bloom_paths").asInstanceOf[java.util.List[String]]
+        .asScala.toArray).getOrElse(Array.empty[String])
 }

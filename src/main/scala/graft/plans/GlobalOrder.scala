@@ -34,11 +34,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalOrder {
 
-  /** As [[withSeq]], returning also a cleanup thunk that unpersists the
-    * pinned ranged layout — call it once the result has been materialized
-    * (written or persisted) to bound cache growth in iterative callers. */
+  /** `rows` is the exact input row count (free — the counts job already
+    * ran); `cleanup` unpersists the pinned ranged layout — call it once
+    * the result has been materialized (written or persisted) to bound
+    * cache growth in iterative callers. */
+  final case class SeqResult(df: DataFrame, rows: Long, cleanup: () => Unit)
+
+  /** As [[withSeq]], returning the row count and a cleanup thunk. */
   def withSeqHandle(df: DataFrame, sortCols: Seq[Column], seqCol: String,
-                    offset: Long = 0L): (DataFrame, () => Unit) = {
+                    offset: Long = 0L): SeqResult = {
     val spark = df.sparkSession
     val P = spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(P, sortCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,11 +58,11 @@ object GlobalOrder {
         var seq = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
         it.map { r => seq += 1L; Row.fromSeq(r.toSeq :+ seq) }
       }(Encoders.row(outSchema))
-    (out, () => { ranged.unpersist(false); () })
+    SeqResult(out, counts.values.sum, () => { ranged.unpersist(false); () })
   }
 
   /** One-shot form for single-use queries; the pinned layout stays cached
     * for the session (use [[withSeqHandle]] in iterative callers). */
   def withSeq(df: DataFrame, sortCols: Seq[Column], seqCol: String, offset: Long = 0L): DataFrame =
-    withSeqHandle(df, sortCols, seqCol, offset)._1
+    withSeqHandle(df, sortCols, seqCol, offset).df
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.corpus.CorpusGen
-import graft.crawl.{BloomShards, CrawlConfig, CrawlEngine, Scheduler, SeenSet}
+import graft.crawl.{BloomShardReader, CrawlConfig, CrawlEngine, Scheduler, SeenSet}
 import graft.functions.{canonicalize_url, host_of, path_of}
 import graft.plans.GlobalOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -113,17 +113,17 @@ object CrawlOps {
         .orderBy("url_canon")
     }),
 
-    // J1 two-phase: bloom prefilter + exact anti-join — identical result
+    // J1 two-phase: shard-aligned bloom prefilter (codegen probe over
+    // executor-resident shard files) + exact anti-join — identical result
     "q08_bloom_dedup" -> ((s, dir) => {
       val hosting = CorpusGen.hosting(s, fx(s, dir))
         .select(col("url_canon"), col("page_hash").as("url_hash"))
       val seen = hosting.filter(pmod(col("url_hash"), lit(4)) === 0)
         .select("url_hash").persist()
-      val blooms = BloomShards.empty(8, 200000L, 0.01)
-      SeenSet.addToShards(s, seen, blooms, 200000L, 0.01)
-      SeenSet.newUrls(s, hosting, seen, Some(blooms))
-        .select("url_canon")
-        .orderBy("url_canon")
+      val shardDir = s"target/q08-shards/${CorpusGen.tierFor(dir).name}"
+      val (paths, _) = SeenSet.buildShards(s, seen, None, shardDir, 8, 200000L, 0.01)
+      val (result, _) = SeenSet.newUrls(s, hosting, seen, Some(new BloomShardReader(paths)))
+      result.select("url_canon").orderBy("url_canon")
     }),
 
     // E1 flagship: the full crawl; returns the global fetch log

@@ -82,6 +82,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(fast == naive)
   }
 
+  test("J1 bloom probe is a codegen expression (no UDF, no eval fallback)") {
+    val p = plan(SparkEntry.queries("q08_bloom_dedup")(spark, dir))
+    assert(p.contains("bloom_might_contain"), s"expected codegen probe:\n$p")
+    assert(!p.contains("UDF"), s"no Scala UDF expected in the J1 stage:\n$p")
+  }
+
   test("no RDD-based operators in any query plan (typed flatMapGroups excepted)") {
     val offenders = SparkEntry.queries.keys.filterNot(_ == "q09_crawl").filter { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
