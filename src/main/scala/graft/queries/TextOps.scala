@@ -43,8 +43,14 @@ object TextOps {
       |UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz9 extra tail words' AS text
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  private def shingles3(text: Column): Column = {
-    val ws = words(text)
+  /** Word-3-shingles over an ALREADY-MATERIALIZED words column. `ws`
+    * must be a physical attribute, not the regexp subtree: higher-order
+    * functions evaluate interpreted, so a lambda that references a
+    * non-attribute child re-evaluates that whole subtree PER ELEMENT —
+    * with `words(text)` inlined here, every shingle re-ran the regexp
+    * over the full text (O(words²) per doc; this, not hashing, was most
+    * of q25's round-1 wall time). */
+  private def shingles3(ws: Column): Column = {
     val n = size(ws)
     when(n >= 3,
       transform(sequence(lit(1), n - 2), i =>
@@ -52,22 +58,31 @@ object TextOps {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** k numeric MinHash signatures over word-3-shingles: ONE md5 per
-    * shingle, k hash functions derived arithmetically as h_j = a + j*b
-    * with a/b the first/second 56-bit halves of the digest (the classic
-    * two-hash construction — Kirsch–Mitzenmacher). Replaces the round-1
-    * eight-md5s-per-shingle form: ~8× less hashing in the hot path and
-    * still bit-reproducible in DuckDB (hex-literal casts). 56-bit halves
-    * keep a + 7b < 2^59, safe under ANSI LongType.
+  /** Appends `out` = array of k numeric MinHash signatures over
+    * word-3-shingles: ONE md5 per shingle, k hash functions derived
+    * arithmetically as h_j = a + j*b with a/b the first/second 56-bit
+    * halves of the digest (the classic two-hash construction —
+    * Kirsch–Mitzenmacher). 56-bit halves keep a + 7b < 2^59, safe under
+    * ANSI LongType.
+    *
+    * Deliberately STAGED as several small projections: a single
+    * expression with the md5/conv subtree inlined 8–16× generated
+    * whole-stage code big enough that janino compilation alone cost
+    * ~70 s at the bench tier (the round-1 q25 wall time was compile
+    * time, not data). The `__ab` intermediate is referenced 8× so
+    * CollapseProject keeps the stages separate.
     */
-  private def minhashSigs(text: Column, k: Int): Column = {
-    val sh = shingles3(text)
-    val a = (x: Column) => conv(substring(md5(x), 1, 14), 16, 10).cast("long")
-    val b = (x: Column) => conv(substring(md5(x), 17, 14), 16, 10).cast("long")
-    array((0 until k).map { j =>
-      array_min(transform(sh, x => a(x) + lit(j.toLong) * b(x)))
-    }: _*)
-  }
+  private def withMinhashSigs(df: DataFrame, text: Column, k: Int, out: String): DataFrame =
+    df.withColumn("__ws", words(text))
+      .withColumn("__sh", shingles3(col("__ws")))
+      .withColumn("__m", transform(col("__sh"), x => md5(x)))
+      .withColumn("__ab", transform(col("__m"), m => struct(
+        conv(substring(m, 1, 14), 16, 10).cast("long").as("a"),
+        conv(substring(m, 17, 14), 16, 10).cast("long").as("b"))))
+      .withColumn(out, array((0 until k).map(j =>
+        array_min(transform(col("__ab"), p =>
+          p.getField("a") + lit(j.toLong) * p.getField("b")))): _*))
+      .drop("__ws", "__sh", "__m", "__ab")
 
   private def minhashSigSql(k: Int): String = {
     // expects CTE alias `sh(doc_id, shingles)`; one element per hash fn
@@ -146,8 +161,7 @@ object TextOps {
 
     // MinHash signatures (k=8) over word-3-shingles
     "q24_minhash" -> ((s, dir) => {
-      docsAugmented(s, dir)
-        .select(col("doc_id"), minhashSigs(col("text"), 8).as("sigs"))
+      withMinhashSigs(docsAugmented(s, dir), col("text"), 8, "sigs")
         .select(col("doc_id"),
           array_join(transform(col("sigs"), x => x.cast("string")), "|").as("minhash"))
         .orderBy("doc_id")
@@ -165,8 +179,8 @@ object TextOps {
       val BUCKET_CAP = 64
       val base = docsAugmented(s, dir)
       val ws = words(col("text"))
-      val sigged = base.select(col("doc_id"), array_distinct(ws).as("wset"),
-        minhashSigs(col("text"), 8).as("sigs")).persist()
+      val sigged = withMinhashSigs(base, col("text"), 8, "sigs")
+        .select(col("doc_id"), array_distinct(ws).as("wset"), col("sigs")).persist()
       sigged.count() // materialize before the fan-out
       val banded = sigged.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
