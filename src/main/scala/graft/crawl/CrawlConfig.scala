@@ -30,4 +30,8 @@ final case class CrawlConfig(
   /** Compact the seen-set delta chain into one base file once this many
     * live files accumulate (Iceberg-style compaction: keeps the per-round
     * scan O(1) instead of O(rounds), amortized O(log) rewrite). */
-  seenCompactEvery: Int = 8)
+  seenCompactEvery: Int = 8,
+  /** Files per snapshot write (fetchlog/delta/frontier). Task-commit
+    * overhead dominates small-round writes at 32 files; at 10^10-URL
+    * scale set this to `partitions` so write parallelism matches. */
+  snapshotWriteFiles: Int = 8)

@@ -175,12 +175,28 @@ final class CrawlEngine(
       .getOrElse(0L)
     var roundsRun = 0
 
-    while (roundsRun < maxRounds && fetchedSoFar < cfg.totalBudget && step()) {
-      roundsRun += 1
-    }
+    // The round plans are hand-shaped (explicit partition counts, salting,
+    // broadcast hints); AQE's per-stage re-planning only adds job-barrier
+    // latency to the many small per-round jobs, so it is suspended for
+    // the loop and restored after (~10% wall-time at the bench tier).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (roundsRun < maxRounds && fetchedSoFar < cfg.totalBudget && step()) {
+        roundsRun += 1
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
 
     def step(): Boolean = {
+      if (frontierRows == 0L) return false
       val t0 = System.nanoTime()
+      var tLast = t0
+      def lap(name: String): Unit = {
+        val now = System.nanoTime()
+        if (sys.env.contains("GRAFT_TRACE"))
+          System.err.println(f"[trace] r$round $name ${(now - tLast) / 1e9}%6.2f s")
+        tLast = now
+      }
       val frontier = spark.read.parquet(store.frontierPath(round))
 
       // P4: robots filter — longest-prefix-match via a codegen'd
@@ -192,6 +208,9 @@ final class CrawlEngine(
 
       // W1/Q1: politeness schedule
       val hostMeta = hostMetaDf(hostReadyDf)
+      // row-count metrics ride the round's existing actions as
+      // Observations (CollectMetrics) — no dedicated count jobs
+      val schedAllObs = new org.apache.spark.sql.Observation(s"schedall-r$round")
       val schedAll = (
         if (cfg.typedHeapScheduler)
           Scheduler.typedHeap(spark, allowed, delayByHost, collectHostReady(hostReadyDf),
@@ -200,27 +219,28 @@ final class CrawlEngine(
           Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs)
         else
           Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).observe(schedAllObs, count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       val carried = schedAll.filter(col("rn") > cfg.perHostPerRound)
         .select("url_canon", "url_hash", "host", "depth")
+      val withinObs = new org.apache.spark.sql.Observation(s"withincap-r$round")
       val withinHostCap = schedAll.filter(col("rn") <= cfg.perHostPerRound)
+        .observe(withinObs, count(lit(1)).as("n"))
 
-      // O1/O2: global crawl order + budget truncation. The ordering
-      // pass's counts job materializes the whole scheduling subtree and
-      // hands back the scheduled row count for free — the empty-frontier
-      // stop and the fetched count need no further jobs.
-      val seqRes = GlobalOrder.withSeqHandle(withinHostCap,
-        Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
-      if (seqRes.rows == 0L) {
-        schedAll.unpersist(); seqRes.cleanup()
-        return false
-      }
-      val schedCount = math.min(seqRes.rows, cfg.totalBudget - fetchedSoFar)
-      val sched = seqRes.df.filter(col("seq") <= cfg.totalBudget)
+      // O1/O2: global crawl order + budget truncation — one declarative
+      // plan (GlobalOrder), no counting pre-job; the scheduled row count
+      // rides the fetch-log write as an Observation
+      val schedObs = new org.apache.spark.sql.Observation(s"sched-r$round")
+      val sched = GlobalOrder.withSeq(withinHostCap,
+          Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
+        .filter(col("seq") <= cfg.totalBudget)
+        .observe(schedObs, count(lit(1)).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      lap("globalorder")
 
       // J3: simulated fetch → fetch-log sink (1st heavy action)
+      val fetchObs = new org.apache.spark.sql.Observation(s"fetch-r$round")
       val fetched = sched.join(
           hosting.select(col("page_hash"), col("doc_id"), col("status")),
           sched("url_hash") === col("page_hash"), "left")
@@ -228,21 +248,41 @@ final class CrawlEngine(
         .withColumn("status", coalesce(col("status"), lit("missing")))
         .withColumn("doc_id", coalesce(col("doc_id"), lit("")))
         .withColumn("round", lit(round))
+        .observe(fetchObs,
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok"),
+          sum(when(col("status") === "404", 1L).otherwise(0L)).as("s404"),
+          sum(when(col("status") === "missing", 1L).otherwise(0L)).as("missing"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      lap("fetchjoin-def")
       fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
           "rn", "fetch_ts", "status", "doc_id")
+        .coalesce(cfg.snapshotWriteFiles)
         .write.mode("overwrite").parquet(store.fetchLogPath(round))
 
       // status metrics: ≤4 rows off the fetched cache. Denied/carried
       // come from count arithmetic (no per-host collects — round 1
       // pulled per-(host,status) counts to the driver every round).
-      val statusCounts = fetched.groupBy("status").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val schedAllCount = schedAll.count()
+      lap("fetchlog-write")
+      def obsLong(o: org.apache.spark.sql.Observation, k: String): Long =
+        Option(o.get(k)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      val schedCount = obsLong(schedObs, "n")
+      if (schedCount == 0L) {
+        Seq(schedAll, sched, fetched).foreach(_.unpersist())
+        return false
+      }
+      val statusCounts = Map(
+        "ok" -> obsLong(fetchObs, "ok"),
+        "404" -> obsLong(fetchObs, "s404"),
+        "missing" -> obsLong(fetchObs, "missing"))
+      lap("statuscounts")
+      val schedAllCount = obsLong(schedAllObs, "n")
       val deniedCount = math.max(0L, frontierRows - schedAllCount)
-      val carriedCount = schedAllCount - seqRes.rows
+      // rows beyond the per-host cap carry; rows beyond the total budget
+      // are dropped ([PINNED] — matches the oracle's take())
+      val carriedCount = schedAllCount - obsLong(withinObs, "n")
 
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
+      lap("schedallcount")
       val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
       val links = okDocs
         .join(docs, Seq("doc_id"))
@@ -259,6 +299,7 @@ final class CrawlEngine(
       // [PINNED: min (seq, span_idx, link_pos)]. The explicit pmod
       // repartition serves the groupBy (pmod(url_hash) clusters url_hash)
       // AND co-locates candidates with their bloom shard for the probe.
+      val candObs = new org.apache.spark.sql.Observation(s"cand-r$round")
       val cand = links
         .withColumn("url_hash", xxhash64(col("link_canon")))
         .withColumn("__b", pmod(col("url_hash"), lit(cfg.partitions.toLong)))
@@ -269,20 +310,25 @@ final class CrawlEngine(
         .select(col("url_hash"), col("f.link_canon").as("url_canon"),
           host_of(col("f.link_canon")).as("host"),
           (col("f.depth") + 1).as("depth"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val candCount = cand.count()
+        .observe(candObs, count(lit(1)).as("n"))
+      lap("cand-def")
 
       // J1: two-phase seen-set dedup (shard-aligned bloom prefilter +
       // exact anti-join)
+      lap("candcount")
       val seenDf = spark.read.parquet(seenPaths: _*)
       val (newUrlsDf, probeCleanup) = SeenSet.newUrls(spark, cand, seenDf, bloomReader)
       val newUrls = newUrlsDf.persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- commit round R+1 snapshot ----
+      lap("newurls-def")
       val next = round + 1
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
-      delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
+      delta.coalesce(cfg.snapshotWriteFiles)
+        .write.mode("overwrite").parquet(store.seenDeltaPath(next))
+      val candCount = obsLong(candObs, "n")
+      lap("delta-write")
       val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
       // per-partition lineage comes for free from the executor-side
       // bloom-shard build (same pmod(url_hash, P) sharding)
@@ -292,12 +338,14 @@ final class CrawlEngine(
             store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
         case None => (Array.empty[String], bucketCounts(deltaBack))
       }
+      lap("shard-build")
       if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths))
       val newCount = lineage.sum
 
       // Iceberg-style compaction: fold the delta chain into one base file
       // once it grows past the threshold, keeping every round's seen scan
       // a bounded number of files (amortized-log rewrite cost)
+      lap("reader-upd")
       seenPaths = seenPaths :+ store.seenDeltaPath(next)
       if (seenPaths.size >= cfg.seenCompactEvery) {
         spark.read.parquet(seenPaths: _*)
@@ -308,22 +356,27 @@ final class CrawlEngine(
 
       // next frontier: carried entries keep their depth; new URLs get the
       // depth recorded at discovery
+      lap("compaction")
       val nextFrontier = carried.unionByName(
         newUrls.select("url_canon", "url_hash", "host", "depth"))
-      nextFrontier.write.mode("overwrite").parquet(store.frontierPath(next))
+      nextFrontier.coalesce(cfg.snapshotWriteFiles)
+        .write.mode("overwrite").parquet(store.frontierPath(next))
 
       // host-ready advance: ready' = ready + fetched_this_round * delay —
       // a Dataset job, written to the snapshot (no driver map)
-      val perHost = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
-      hostReadyDf.join(perHost, Seq("host"), "full_outer")
-        .join(delaysDf, Seq("host"), "left")
+      lap("frontier-write")
+      val perHostAdd = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(delaysDf), Seq("host"), "left")
         .select(col("host"),
-          (coalesce(col("ready_ts"), lit(0L)) +
-            coalesce(col("cnt"), lit(0L)) *
-              coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("ready_ts"))
+          (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"))
+      hostReadyDf.select(col("host"), col("ready_ts").as("v"))
+        .unionByName(perHostAdd)
+        .groupBy("host").agg(sum(col("v")).as("ready_ts"))
+        .coalesce(1)
         .write.mode("overwrite").parquet(store.hostReadyPath(next))
       hostReadyDf = spark.read.parquet(store.hostReadyPath(next))
 
+      lap("hostready-write")
       fetchedSoFar += schedCount
       frontierRows = carriedCount + newCount
       val elapsedSec = (System.nanoTime() - t0) / 1e9
@@ -344,9 +397,8 @@ final class CrawlEngine(
           "fetchlog" -> schedCount),
         lineage, metrics, seenPaths, bloomPaths.toSeq))
 
-      Seq(schedAll, sched, fetched, cand, newUrls).foreach(_.unpersist())
-      seqRes.cleanup() // release the round's pinned ranged layout
-      probeCleanup()   // release the bloom probe-stage cache
+      Seq(schedAll, sched, fetched, newUrls).foreach(_.unpersist())
+      probeCleanup() // release the bloom probe-stage cache
       round = next
       true
     }

@@ -60,13 +60,16 @@ class PlanShapeSpec extends SparkTestBase {
       CorpusGen.hosting(spark, fx).select("url_canon", "host", "page_hash"),
       Seq(col("host"), col("page_hash")), "seq")
     val p = plan(df)
-    // the rank pass is a narrow mapPartitions over the pinned
-    // range-partitioned cache — no Window at all (a per-pid window would
-    // re-shuffle; a global window would single-partition)
-    assert(p.contains("MapPartitions"), s"expected narrow rank pass:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"expected pinned ranged layout:\n$p")
-    assert(!p.contains("Window"), s"no window expected:\n$p")
+    // ONE range exchange over the data, shared by the rank branch and the
+    // P-row offsets branch (exchange reuse keeps the boundaries
+    // consistent); the only Window is over the tiny per-partition counts
+    assert(p.contains("rangepartitioning("), s"expected range exchange:\n$p")
     assert(!p.contains("Scan ExistingRDD"), s"no RDD scan expected:\n$p")
+    // the only window is the cumulative sum over the tiny per-partition
+    // COUNTS (≤P rows); no ranking window ever touches the data rows
+    val dataWindows = p.linesIterator.count(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(dataWindows == 0, s"no row_number window over the data expected:\n$p")
   }
 
   test("GlobalOrder seq equals a naive single-partition row_number") {
