@@ -162,6 +162,22 @@ final class CrawlEngine(
       throw new IllegalStateException("no committed snapshot to resume from"))
     var hostReadyDf = spark.read.parquet(store.hostReadyPath(round))
     var seenPaths: Seq[String] = store.liveSeenPaths()
+    // The compacted seen base lives as a BUCKETED (by url_hash, sorted)
+    // external table: the exact anti-join's big side then scans
+    // bucket-aligned with NO exchange and NO sort every round — the
+    // cross-round shuffle reuse SURVEY §4 promises. Deltas since the
+    // last compaction stay plain parquet (small → broadcast anti-joins).
+    val baseTableName = s"graft_seen_${java.lang.Integer.toHexString(snapshotRoot.hashCode)}"
+    def isBasePath(p: String): Boolean = p.contains("/seen_base")
+    var basePath: Option[String] = seenPaths.find(isBasePath)
+    // resume in a fresh session: re-register the table over the manifest path
+    basePath.foreach { bp =>
+      if (!spark.catalog.tableExists(baseTableName))
+        spark.sql(s"CREATE TABLE $baseTableName (url_hash BIGINT, url_canon STRING, " +
+          s"first_round INT) USING PARQUET CLUSTERED BY (url_hash) " +
+          s"SORTED BY (url_hash) INTO ${cfg.partitions} BUCKETS " +
+          s"LOCATION '${new java.io.File(bp).getAbsolutePath}'")
+    }
     var bloomReader: Option[BloomShardReader] =
       if (cfg.useBloom) Some(new BloomShardReader(store.liveBloomPaths())) else None
     val lastEntry = store.readManifest().lastOption
@@ -314,10 +330,13 @@ final class CrawlEngine(
       lap("cand-def")
 
       // J1: two-phase seen-set dedup (shard-aligned bloom prefilter +
-      // exact anti-join)
+      // exact anti-joins: small deltas first, bucketed base last)
       lap("candcount")
-      val seenDf = spark.read.parquet(seenPaths: _*)
-      val (newUrlsDf, probeCleanup) = SeenSet.newUrls(spark, cand, seenDf, bloomReader)
+      val deltaPaths = seenPaths.filterNot(isBasePath)
+      val seenParts =
+        (if (deltaPaths.nonEmpty) Seq(spark.read.parquet(deltaPaths: _*)) else Seq.empty) ++
+          basePath.map(_ => spark.table(baseTableName)).toSeq
+      val (newUrlsDf, probeCleanup) = SeenSet.newUrls(spark, cand, seenParts, bloomReader)
       val newUrls = newUrlsDf.persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- commit round R+1 snapshot ----
@@ -348,10 +367,22 @@ final class CrawlEngine(
       lap("reader-upd")
       seenPaths = seenPaths :+ store.seenDeltaPath(next)
       if (seenPaths.size >= cfg.seenCompactEvery) {
+        // absolute path: a relative LOCATION would resolve under the
+        // spark-warehouse dir; clear any partial dir from a crashed run
+        // (commits are atomic — an uncommitted base is garbage)
+        val bp = new java.io.File(store.seenBasePath(next)).getAbsolutePath
+        store.deleteDir(bp)
+        spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
+        // repartition on url_hash matches the bucket hash → one file per
+        // bucket, so the bucketed scan is both exchange- and sort-free
         spark.read.parquet(seenPaths: _*)
-          .repartition(cfg.partitions, pmod(col("url_hash"), lit(cfg.partitions.toLong)))
-          .write.mode("overwrite").parquet(store.seenBasePath(next))
-        seenPaths = Seq(store.seenBasePath(next))
+          .repartition(cfg.partitions, col("url_hash"))
+          .write.format("parquet")
+          .bucketBy(cfg.partitions, "url_hash").sortBy("url_hash")
+          .option("path", bp)
+          .saveAsTable(baseTableName)
+        seenPaths = Seq(bp)
+        basePath = Some(bp)
       }
 
       // next frontier: carried entries keep their depth; new URLs get the

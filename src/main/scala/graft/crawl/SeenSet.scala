@@ -129,24 +129,30 @@ object SeenSet {
 
   /** J1 two-phase dedup: rows of `cand` whose url_hash is NOT in the seen
     * set. Bloom-negative rows bypass the join (no false negatives);
-    * bloom-positive rows are exactly anti-joined against `seen`. The
-    * probe is the codegen [[BloomMightContain]] expression; callers
-    * should co-partition `cand` by `pmod(url_hash, P)` so each executor
-    * loads only its own shards. Returns the result plus a cleanup thunk
-    * releasing the probe-stage cache — call it once the result has been
-    * materialized (round 1 leaked one cached frame per crawl round). */
-  def newUrls(spark: SparkSession, cand: DataFrame, seen: DataFrame,
+    * bloom-positive rows are exactly anti-joined against every frame in
+    * `seenParts` in turn — the engine passes [recent deltas, bucketed
+    * base table] so the big compacted base is scanned bucket-aligned
+    * (no exchange, no sort on the base side) while the small deltas
+    * broadcast. The probe is the codegen [[BloomMightContain]]
+    * expression; callers should co-partition `cand` by
+    * `pmod(url_hash, P)` so each executor loads only its own shards.
+    * Returns the result plus a cleanup thunk releasing the probe-stage
+    * cache — call it once the result has been materialized (round 1
+    * leaked one cached frame per crawl round). */
+  def newUrls(spark: SparkSession, cand: DataFrame, seenParts: Seq[DataFrame],
               reader: Option[BloomShardReader]): (DataFrame, () => Unit) = {
+    def antiAll(df: DataFrame): DataFrame =
+      seenParts.foldLeft(df)((acc, seen) =>
+        acc.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
     reader match {
       case Some(rd) =>
         val probe = Shim.col(BloomMightContain(Shim.expr(col("url_hash")), rd))
         val tagged = cand.withColumn("__maybe", probe).persist(StorageLevel.MEMORY_AND_DISK)
         val definitelyNew = tagged.filter(!col("__maybe")).drop("__maybe")
-        val maybeSeen = tagged.filter(col("__maybe")).drop("__maybe")
-          .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+        val maybeSeen = antiAll(tagged.filter(col("__maybe")).drop("__maybe"))
         (definitelyNew.unionByName(maybeSeen), () => { tagged.unpersist(false); () })
       case None =>
-        (cand.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"), () => ())
+        (antiAll(cand), () => ())
     }
   }
 }

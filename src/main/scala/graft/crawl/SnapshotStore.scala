@@ -46,12 +46,14 @@ final class SnapshotStore(val root: String) {
   def bloomsDir(r: Int): String = s"${roundDir(r)}/blooms"
   def hostReadyPath(r: Int): String = s"${roundDir(r)}/hostready"
 
-  def wipe(): Unit = {
+  def wipe(): Unit = deleteDir(root)
+
+  def deleteDir(path: String): Unit = {
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
       Files.deleteIfExists(p)
     }
-    val p = Paths.get(root)
+    val p = Paths.get(path)
     if (Files.exists(p)) rm(p)
   }
 

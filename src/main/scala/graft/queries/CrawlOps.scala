@@ -122,7 +122,7 @@ object CrawlOps {
         .select("url_hash").persist()
       val shardDir = s"target/q08-shards/${CorpusGen.tierFor(dir).name}"
       val (paths, _) = SeenSet.buildShards(s, seen, None, shardDir, 8, 200000L, 0.01)
-      val (result, _) = SeenSet.newUrls(s, hosting, seen, Some(new BloomShardReader(paths)))
+      val (result, _) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
       result.select("url_canon").orderBy("url_canon")
     }),
 

@@ -85,6 +85,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(fast == naive)
   }
 
+  test("exact seen anti-join: bucketed base side needs no exchange") {
+    import spark.implicits._
+    val loc = new java.io.File("target/planshape-base").getAbsolutePath
+    new graft.crawl.SnapshotStore("target/planshape-base-unused").deleteDir(loc)
+    spark.sql("DROP TABLE IF EXISTS planshape_seen_base")
+    (1L to 1000L).map(h => (h, s"u$h", 0)).toDF("url_hash", "url_canon", "first_round")
+      .repartition(8, col("url_hash"))
+      .write.format("parquet").bucketBy(8, "url_hash").sortBy("url_hash")
+      .option("path", loc).saveAsTable("planshape_seen_base")
+    val cand = (500L to 1500L).map(h => (h, s"c$h")).toDF("url_hash", "url_canon")
+    // hint forces the SMJ the engine gets naturally once the base
+    // outgrows the broadcast threshold (a tiny test base would broadcast)
+    val joined = cand.join(spark.table("planshape_seen_base").select("url_hash").hint("merge"),
+      Seq("url_hash"), "left_anti")
+    val p = plan(joined)
+    assert(p.contains("Bucketed: true"), s"expected bucketed scan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"base side must not re-shuffle (cand side may):\n$p")
+  }
+
   test("J1 bloom probe is a codegen expression (no UDF, no eval fallback)") {
     val p = plan(SparkEntry.queries("q08_bloom_dedup")(spark, dir))
     assert(p.contains("bloom_might_contain"), s"expected codegen probe:\n$p")
