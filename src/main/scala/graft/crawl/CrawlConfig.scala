@@ -22,6 +22,10 @@ final case class CrawlConfig(
   bloomFpp: Double = 0.01,
   /** Bloom prefilter before the exact anti-join (J1 two-phase). */
   useBloom: Boolean = true,
+  /** Approximate-membership filter kind for the seen shards:
+    * "bloom" (default) or "cuckoo" (deletion support, better space at
+    * low FPP) — the north-star's "bloom/cuckoo" pair. */
+  seenFilter: String = "bloom",
   /** Use the skew-safe two-phase scheduler (explicit salting path). */
   saltedScheduler: Boolean = true,
   /** Use the typed per-host heap (Q1) instead of the window scheduler

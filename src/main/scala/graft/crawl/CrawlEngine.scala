@@ -138,7 +138,8 @@ final class CrawlEngine(
     val (bloomPaths, lineage) =
       if (cfg.useBloom)
         SeenSet.buildShards(spark, spark.read.parquet(store.seenDeltaPath(0)).select("url_hash"),
-          None, store.bloomsDir(0), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
+          None, store.bloomsDir(0), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp,
+          cfg.seenFilter)
       else (Array.empty[String], bucketCounts(spark.read.parquet(store.seenDeltaPath(0))))
     Seq.empty[(String, Long)].toDF("host", "ready_ts")
       .write.mode("overwrite").parquet(store.hostReadyPath(0))
@@ -354,7 +355,8 @@ final class CrawlEngine(
       val (bloomPaths, lineage) = bloomReader match {
         case Some(rd) =>
           SeenSet.buildShards(spark, deltaBack.select("url_hash"), Some(rd),
-            store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp)
+            store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp,
+            cfg.seenFilter)
         case None => (Array.empty[String], bucketCounts(deltaBack))
       }
       lap("shard-build")

@@ -40,7 +40,52 @@ final class BloomShardReader(val paths: Array[String]) extends Serializable {
     * written (nothing inserted) ⇒ definitely not contained. */
   def mightContain(h: Long): Boolean = {
     val p = paths(shardOf(h))
-    p != null && BloomShardCache.get(p).mightContainLong(h)
+    p != null && BloomShardCache.get(p).mightContain(h)
+  }
+}
+
+/** One shard's approximate-membership filter — either a classic bloom or
+  * a cuckoo filter (the north-star's "bloom/cuckoo" pair). Both have NO
+  * false negatives, the invariant the two-phase J1 dedup relies on. */
+sealed trait ShardFilter extends Serializable {
+  def put(h: Long): Unit
+  def mightContain(h: Long): Boolean
+  def writeTo(out: DataOutputStream): Unit
+}
+
+final class BloomShardFilter(val bf: BloomFilter) extends ShardFilter {
+  def put(h: Long): Unit = bf.putLong(h)
+  def mightContain(h: Long): Boolean = bf.mightContainLong(h)
+  def writeTo(out: DataOutputStream): Unit = { out.writeByte('B'); bf.writeTo(out) }
+}
+
+/** Cuckoo variant: supports deletion and better space at low FPP. A
+  * saturated filter (insert failed after max kicks) degrades to
+  * always-maybe — conservative, never a false negative. */
+final class CuckooShardFilter(val cf: CuckooFilter, private var saturated: Boolean = false)
+  extends ShardFilter {
+  def put(h: Long): Unit = if (!saturated && !cf.put(h)) saturated = true
+  def mightContain(h: Long): Boolean = saturated || cf.mightContain(h)
+  def remove(h: Long): Boolean = !saturated && cf.remove(h)
+  def isSaturated: Boolean = saturated
+  def writeTo(out: DataOutputStream): Unit = {
+    out.writeByte('C'); out.writeBoolean(saturated); cf.writeTo(out)
+  }
+}
+
+object ShardFilter {
+  /** `kind` ∈ {"bloom", "cuckoo"} (CrawlConfig.seenFilter). */
+  def create(kind: String, capacity: Long, fpp: Double): ShardFilter = kind match {
+    case "cuckoo" => new CuckooShardFilter(CuckooFilter.create(capacity))
+    case _ => new BloomShardFilter(BloomFilter.create(capacity, fpp))
+  }
+
+  def readFrom(in: java.io.DataInputStream): ShardFilter = in.readByte().toChar match {
+    case 'C' =>
+      val saturated = in.readBoolean()
+      new CuckooShardFilter(CuckooFilter.readFrom(in), saturated)
+    case 'B' => new BloomShardFilter(BloomFilter.readFrom(in))
+    case t => throw new IllegalStateException(s"unknown shard filter tag: $t")
   }
 }
 
@@ -50,18 +95,19 @@ final class BloomShardReader(val paths: Array[String]) extends Serializable {
 object BloomShardCache {
   private val MaxEntries = 128
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, BloomFilter](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+    new java.util.LinkedHashMap[String, ShardFilter](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, ShardFilter]): Boolean =
         size() > MaxEntries
     })
 
-  def get(path: String): BloomFilter = {
+  def get(path: String): ShardFilter = {
     val hit = cache.get(path)
     if (hit != null) return hit
-    val in = new BufferedInputStream(Files.newInputStream(Paths.get(path)))
-    val bf = try BloomFilter.readFrom(in) finally in.close()
-    cache.put(path, bf)
-    bf
+    val in = new java.io.DataInputStream(
+      new BufferedInputStream(Files.newInputStream(Paths.get(path))))
+    val f = try ShardFilter.readFrom(in) finally in.close()
+    cache.put(path, f)
+    f
   }
 }
 
@@ -96,7 +142,8 @@ object SeenSet {
     * keep their previous file — no copying) and per-shard row counts:
     * exactly the per-partition lineage the snapshot manifest records. */
   def buildShards(spark: SparkSession, hashes: DataFrame, prev: Option[BloomShardReader],
-                  outDir: String, P: Int, capacityPerShard: Long, fpp: Double): (Array[String], Seq[Long]) = {
+                  outDir: String, P: Int, capacityPerShard: Long, fpp: Double,
+                  kind: String = "bloom"): (Array[String], Seq[Long]) = {
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
     val prevPaths: Array[String] = prev.map(_.paths).getOrElse(Array.fill[String](P)(null))
@@ -108,11 +155,12 @@ object SeenSet {
         val prevPath = bcPrev.value(pid)
         val bf =
           if (prevPath != null) {
-            val in = new BufferedInputStream(Files.newInputStream(Paths.get(prevPath)))
-            try BloomFilter.readFrom(in) finally in.close()
-          } else BloomFilter.create(capacityPerShard, fpp)
+            val in = new java.io.DataInputStream(
+              new BufferedInputStream(Files.newInputStream(Paths.get(prevPath))))
+            try ShardFilter.readFrom(in) finally in.close()
+          } else ShardFilter.create(kind, capacityPerShard, fpp)
         var n = 0L
-        it.foreach { h => bf.putLong(h); n += 1 }
+        it.foreach { h => bf.put(h); n += 1 }
         val tmp = Paths.get(s"$outDir/.shard-$pid.${UUID.randomUUID()}.tmp")
         val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
         try bf.writeTo(out) finally out.close()

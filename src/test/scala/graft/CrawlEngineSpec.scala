@@ -107,6 +107,14 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectLog(eNoBloom) == collectLog(engine))
   }
 
+  test("cuckoo seen-filter variant produces the identical crawl") {
+    val eCuckoo = new CrawlEngine(spark, fixtureDir, snapDir("cuckoo"),
+      cfg.copy(seenFilter = "cuckoo"))
+    eCuckoo.runFresh()
+    assert(collectSeen(eCuckoo) == collectSeen(engine))
+    assert(collectLog(eCuckoo) == collectLog(engine))
+  }
+
   test("budget truncation matches the oracle (discovered-but-unfetched still seen)") {
     val bcfg = cfg.copy(totalBudget = 100L)
     val eB = new CrawlEngine(spark, fixtureDir, snapDir("budget"), bcfg)

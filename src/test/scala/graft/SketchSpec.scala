@@ -1,7 +1,7 @@
 package graft
 
 import graft.corpus.CorpusGen
-import graft.crawl.BloomAggregator
+import graft.crawl.{BloomAggregator, CuckooFilter, CuckooShardFilter}
 import graft.urls.UrlHash
 import org.apache.spark.sql.functions._
 
@@ -41,5 +41,34 @@ class SketchSpec extends SparkTestBase {
     val est = cms.estimateCount(hottest._1)
     assert(est >= hottest._2)
     assert(est <= hottest._2 + (0.005 * exact.values.sum).toLong + 1)
+  }
+
+  test("CuckooFilter: no false negatives, bounded FPP, delete works") {
+    val n = 20000
+    val cf = CuckooFilter.create(n)
+    val keys = (0 until n).map(i => UrlHash.hash64(s"https://h$i.example/p$i"))
+    keys.foreach(k => assert(cf.put(k), s"insert failed below capacity (occ=${cf.occupancy})"))
+    // no false negatives — the J1 two-phase invariant
+    keys.foreach(k => assert(cf.mightContain(k)))
+    // bounded false positives on disjoint probes (16-bit fingerprints:
+    // nominal ~2*4/2^16 per bucket pair; assert a loose 2% bound)
+    val probes = (0 until n).map(i => UrlHash.hash64(s"https://absent$i.example/x$i"))
+    val fp = probes.count(cf.mightContain)
+    assert(fp.toDouble / n < 0.02, s"FPP too high: $fp/$n")
+    // deletion — the capability blooms lack
+    val removed = keys.take(1000)
+    removed.foreach(k => assert(cf.remove(k)))
+    val still = removed.count(cf.mightContain)
+    assert(still.toDouble / removed.size < 0.02, s"removed keys still maybe-present: $still")
+    keys.drop(1000).foreach(k => assert(cf.mightContain(k), "delete must not evict other keys"))
+  }
+
+  test("CuckooShardFilter saturates conservatively (never a false negative)") {
+    val small = CuckooFilter.create(64)
+    val f = new CuckooShardFilter(small)
+    val keys = (0 until 5000).map(i => UrlHash.hash64(s"https://sat$i.example/"))
+    keys.foreach(f.put) // overload far past capacity → saturation
+    assert(f.isSaturated)
+    keys.foreach(k => assert(f.mightContain(k))) // degraded to always-maybe
   }
 }
