@@ -118,6 +118,39 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  // the zero-alloc fast path must NEVER accept a URL the canonicalizer
+  // would change — property-check it across RFC vectors, corpus-shaped
+  // URLs, tricky shapes, and (for effectiveness) canonical outputs
+  test("isCanonicalAscii fast path is sound (and useful)") {
+    import graft.functions.GraftRT
+    import org.apache.spark.unsafe.types.UTF8String
+    def fast(u: String): Boolean = GraftRT.isCanonicalAscii(UTF8String.fromString(u))
+    val tricky = Seq(
+      "http://a/b/c/d;p?q", "HTTP://A/x", "http://a:80/x", "http://a:8080/x",
+      "http://a:080/x", "http://a", "http://a/", "http://a/?", "http://a/%7e",
+      "http://a/./x", "http://a/../x", "http://a/x/.", "http://a/x/..",
+      "http://a/x/./", "http://a/.hidden", "http://a/x..y", "http://a/x.",
+      "http://[::1]/x", "http://u@a/x", "http://a/x#f", "http://a/x y",
+      "https://a:443/x", "https://a:4430/x", "http://a/x?a=1&b=2", "http://a/x??",
+      "http://a/x?", "http://a//y", "ftp://a/x", "/rel", "x/y")
+    val rng = new java.util.Random(11)
+    val gen = (0 until 3000).map { _ =>
+      s"http${if (rng.nextBoolean()) "s" else ""}://Host${rng.nextInt(50)}.example" +
+        s"/p${rng.nextInt(999)}${Seq("", "?a=1", "/sub/q", "/./x", "/%7e")(rng.nextInt(5))}"
+    }
+    val all = tricky ++ gen ++
+      (tricky ++ gen).flatMap(u => Option(UrlCanon.canonicalize(u)))
+    all.foreach { u =>
+      if (fast(u))
+        assert(UrlCanon.canonicalize(u) == u, s"fast path accepted non-canonical: $u")
+    }
+    // effectiveness: canonical outputs of plain corpus-shaped URLs are accepted
+    val canonicals = gen.flatMap(u => Option(UrlCanon.canonicalize(u)))
+    val accepted = canonicals.count(fast)
+    assert(accepted.toDouble / canonicals.size > 0.7,
+      s"fast path too conservative: $accepted/${canonicals.size}")
+  }
+
   test("extraction grammar: absolute, href, relative, trailing punctuation, order") {
     val text =
       """intro https://a.example/p1. then <a href="https://b.example/p2">x</a> """ +
