@@ -23,7 +23,17 @@ object BenchMicro {
         concat(lit("HTTPS://Host7.example:443/x/../p"), $"id", lit("%2f?q=1#f")))).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"cpus":$cpus,"n":$n,"sec":$sec,"urls_per_sec":${n / sec},"checksum":$out}""")
+    // second kernel: ALREADY-canonical input → exercises the
+    // zero-allocation byte-scan fast path (the common case for ~half of
+    // extracted crawl links)
+    val t1 = System.nanoTime()
+    val outFast = spark.range(0, n, 1, cpus * 4)
+      .select(xxhash64(graft.functions.canonicalize_url(
+        concat(lit("https://host7.example/x/p"), $"id", lit("?q=1")))).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
+    val secFast = (System.nanoTime() - t1) / 1e9
+    println(s"""{"cpus":$cpus,"n":$n,"sec":$sec,"urls_per_sec":${n / sec},"checksum":$out,""" +
+      s""""fastpath_sec":$secFast,"fastpath_urls_per_sec":${n / secFast},"checksum_fast":$outFast}""")
     spark.stop()
   }
 }
