@@ -161,6 +161,54 @@ object GoldenOracles {
     }.flatten.toSeq
   }
 
+  // ---- q36: embedding-cosine near-dup (LSH-bucketed candidates) -------
+
+  final case class NearDupRow(vec_a: Long, vec_b: Long, cos4: Double)
+
+  def embedNearDup(emb: Array[(Long, Array[Double])], tables: Int = 4, bits: Int = 6,
+                   thresh: Double = 0.9): Seq[NearDupRow] = {
+    val dim = emb.head._2.length
+    // pinned plane weights: (md5_6("p_d") % 1001 - 500) / 500, driver-evaluated
+    val w: Array[Array[Double]] =
+      Array.tabulate(tables * bits, dim)((p, d) => planeNum(p, d) / 500.0)
+    val aug = emb ++
+      emb.filter(_._1 % 20 == 0).map { case (id, v) => (id + 1000000L, v) } ++
+      emb.filter(_._1 % 15 == 0).map { case (id, v) =>
+        (id + 2000000L, Array.tabulate(v.length)(d => v(d) + 0.05 * ((d % 7) - 3).toDouble))
+      }
+    val sigs: Array[Array[Long]] = aug.map { case (_, v) =>
+      Array.tabulate(tables) { t =>
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          val wp = w(t * bits + j)
+          var acc = 0.0; var d = 0
+          while (d < v.length) { acc += v(d) * wp(d); d += 1 }
+          if (acc >= 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }
+    }
+    val out = Seq.newBuilder[NearDupRow]
+    var i = 0
+    while (i < aug.length) {
+      var k = i + 1
+      while (k < aug.length) {
+        val (ia, va) = aug(i); val (ib, vb) = aug(k)
+        val (a, b, xa, xb) = if (ia < ib) (ia, ib, va, vb) else (ib, ia, vb, va)
+        val collide = (0 until tables).exists(t => sigs(i)(t) == sigs(k)(t))
+        if (collide) {
+          val c = cosine(xa, xb)
+          if (c >= thresh) out += NearDupRow(a, b, round4(c))
+        }
+        k += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   // ---- entry point: write all golden fixtures for a tier --------------
 
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
@@ -181,5 +229,7 @@ object GoldenOracles {
     val emb = loadEmbeddings(spark, sfDir)
     annLsh(emb).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q29_ann_lsh.parquet")
     annIvf(emb).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q35_ann_ivf.parquet")
+    embedNearDup(emb).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/q36_embed_neardup.parquet")
   }
 }

@@ -49,6 +49,30 @@ object VectorOps {
       struct(lit(t).as("t"), rhpSignature(vec, t * bits, bits).as("sig"))
     }: _*)
 
+  /** Driver-side md5-derived plane weights (same [PINNED] formula as
+    * [[rhpSignature]], evaluated once instead of per row×element — the
+    * interpreted-HOF lesson from q25): w(p,d) = (md5₆("p_d") % 1001 −
+    * 500) / 500. */
+  def planeWeights(planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .take(3).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 1001L).toDouble - 500.0) / 500.0
+    }
+  }
+
+  /** Multi-table signatures from precomputed weight literals — one
+    * dot-product fold per plane, no per-element hashing. */
+  def rhpTablesLit(vec: Column, weights: Array[Array[Double]], tables: Int, bits: Int): Column = {
+    def sig(t: Int): Column = (0 until bits).map { j =>
+      val w = typedLit(weights(t * bits + j).toSeq)
+      val proj = aggregate(zip_with(vec, w, (x, wd) => x * wd), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    array((0 until tables).map(t => struct(lit(t).as("t"), sig(t).as("sig"))): _*)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -150,6 +174,42 @@ object VectorOps {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-cosine near-duplicate detection, LSH-bucketed: the
+    // candidate set comes from 4×6-bit random-hyperplane bucket
+    // collisions (equi-join — no all-pairs cross join at scale), then
+    // exact cosine ≥ 0.9 confirms. The raw embeddings table has no
+    // near-dups, so deterministic exact + perturbed copies are appended
+    // (same [PINNED] formula in the golden oracle). Verified against the
+    // independent plain-Scala model (GoldenOracles.embedNearDup).
+    "q36_embed_neardup" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val emb = raw
+        .unionByName(raw.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+        .unionByName(raw.filter(col("vec_id") % 15 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+              (x, d) => x + lit(0.05) * (pmod(d, lit(7)) - lit(3)).cast("double")).as("v")))
+      val dim = raw.select(size(col("v"))).head().getInt(0)
+      val W = planeWeights(24, dim)
+      val banded = emb
+        .select(col("vec_id"), col("v"), explode(rhpTablesLit(col("v"), W, 4, 6)).as("ts"))
+        .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val a = banded.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
+      val b = banded.select(col("t"), col("sig"), col("vec_id").as("vec_b"))
+      val pairs = a.join(b, Seq("t", "sig"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val va = emb.select(col("vec_id").as("vec_a"), col("v").as("v_a"))
+      val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("v_b"))
+      pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+        .withColumn("cos", cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= 0.9)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos4"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // vector stats via higher-order functions (fully SQL-checkable)
     "q34_embedding_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -176,6 +236,11 @@ object VectorOps {
       s"""SELECT query_id, rank, neighbor_id, cos4
          |FROM read_parquet('$GOLD/q35_ann_ivf.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q36_embed_neardup" ->
+      s"""SELECT vec_a, vec_b, cos4
+         |FROM read_parquet('$GOLD/q36_embed_neardup.parquet/*.parquet')
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q28_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cos4 FROM (
