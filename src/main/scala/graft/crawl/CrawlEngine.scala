@@ -298,6 +298,24 @@ final class CrawlEngine(
       // are dropped ([PINNED] — matches the oracle's take())
       val carriedCount = schedAllCount - obsLong(withinObs, "n")
 
+      // host-ready advance: ready' = ready + fetched_this_round * delay —
+      // a Dataset job over the fetched cache, written to the snapshot (no
+      // driver map). Independent of the link-extraction chain, so it runs
+      // CONCURRENTLY with it (Spark schedules jobs from multiple threads;
+      // the small sink hides under the big extraction job).
+      val next = round + 1
+      val hostReadyFut = scala.concurrent.Future {
+        val perHostAdd = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(delaysDf), Seq("host"), "left")
+          .select(col("host"),
+            (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"))
+        hostReadyDf.select(col("host"), col("ready_ts").as("v"))
+          .unionByName(perHostAdd)
+          .groupBy("host").agg(sum(col("v")).as("ready_ts"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(store.hostReadyPath(next))
+      }(scala.concurrent.ExecutionContext.global)
+
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
       lap("schedallcount")
       val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
@@ -342,13 +360,19 @@ final class CrawlEngine(
 
       // ---- commit round R+1 snapshot ----
       lap("newurls-def")
-      val next = round + 1
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
       delta.coalesce(cfg.snapshotWriteFiles)
         .write.mode("overwrite").parquet(store.seenDeltaPath(next))
       val candCount = obsLong(candObs, "n")
       lap("delta-write")
+      // frontier sink depends only on the schedAll/newUrls caches — it
+      // overlaps the shard build below
+      val frontierFut = scala.concurrent.Future {
+        carried.unionByName(newUrls.select("url_canon", "url_hash", "host", "depth"))
+          .coalesce(cfg.snapshotWriteFiles)
+          .write.mode("overwrite").parquet(store.frontierPath(next))
+      }(scala.concurrent.ExecutionContext.global)
       val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
       // per-partition lineage comes for free from the executor-side
       // bloom-shard build (same pmod(url_hash, P) sharding)
@@ -387,28 +411,13 @@ final class CrawlEngine(
         basePath = Some(bp)
       }
 
-      // next frontier: carried entries keep their depth; new URLs get the
-      // depth recorded at discovery
+      // join the concurrent sinks before committing (commit makes the
+      // round visible — every file must be durable first)
       lap("compaction")
-      val nextFrontier = carried.unionByName(
-        newUrls.select("url_canon", "url_hash", "host", "depth"))
-      nextFrontier.coalesce(cfg.snapshotWriteFiles)
-        .write.mode("overwrite").parquet(store.frontierPath(next))
-
-      // host-ready advance: ready' = ready + fetched_this_round * delay —
-      // a Dataset job, written to the snapshot (no driver map)
+      scala.concurrent.Await.result(frontierFut, scala.concurrent.duration.Duration.Inf)
       lap("frontier-write")
-      val perHostAdd = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
-        .join(broadcast(delaysDf), Seq("host"), "left")
-        .select(col("host"),
-          (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"))
-      hostReadyDf.select(col("host"), col("ready_ts").as("v"))
-        .unionByName(perHostAdd)
-        .groupBy("host").agg(sum(col("v")).as("ready_ts"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(store.hostReadyPath(next))
+      scala.concurrent.Await.result(hostReadyFut, scala.concurrent.duration.Duration.Inf)
       hostReadyDf = spark.read.parquet(store.hostReadyPath(next))
-
       lap("hostready-write")
       fetchedSoFar += schedCount
       frontierRows = carriedCount + newCount

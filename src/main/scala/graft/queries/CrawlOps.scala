@@ -30,7 +30,8 @@ object CrawlOps {
     * Politeness (virtual fetch_ts spacing) is unaffected by the budget. */
   def crawlConfigFor(partitions: Int, tier: CorpusGen.Tier): CrawlConfig = {
     val perHost = math.max(2500, tier.docs / 20) // hot Zipf head drains in ~4 rounds
-    CrawlConfig(maxDepth = 10, perHostPerRound = perHost, partitions = partitions,
+    val p = sys.env.get("GRAFT_CRAWL_PARTITIONS").map(_.toInt).getOrElse(partitions)
+    CrawlConfig(maxDepth = 10, perHostPerRound = perHost, partitions = p,
       bloomShardCapacity = math.max(100000L, tier.docs.toLong))
   }
 
