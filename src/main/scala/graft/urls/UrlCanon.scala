@@ -151,13 +151,46 @@ object UrlCanon {
       val c = hostport.lastIndexOf(':')
       if (c >= 0) { host = hostport.substring(0, c); port = hostport.substring(c + 1) }
     }
-    host = host.toLowerCase
+    // reg-name normalization [PINNED]: decode percent-escapes of
+    // unreserved chars + uppercase the rest (same §6.2.2 rule as
+    // paths), lowercase everything outside escapes, then IDN-encode
+    // literal non-ASCII labels to punycode (percent-encoded non-ASCII
+    // bytes stay percent-encoded — they never reach IDN). Bracketed
+    // IPv6 literals skip all of this (handled above: lowercase only).
+    if (!host.startsWith("[")) {
+      if (host.indexOf('%') >= 0) host = normalizePercent(host)
+      host = canonHostCase(host)
+      if (host.exists(_ > '\u007f')) {
+        host =
+          try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+          catch { case _: IllegalArgumentException => return null }
+      }
+    } else host = host.toLowerCase
     if (host.isEmpty) return null
     val defaultPort = if (scheme == "http") "80" else if (scheme == "https") "443" else ""
     val portPart =
       if (port.isEmpty || port == defaultPort) "" else ":" + port
     userinfo + host + portPart
   }
+
+  /** Lowercase a reg-name host outside percent-escapes, preserving the
+    * (already-uppercased) escape hex — lowercasing blindly would flip
+    * `%C3` to `%c3` and break idempotency. */
+  private def canonHostCase(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        sb.append('%').append(s.charAt(i + 1)).append(s.charAt(i + 2))
+        i += 3
+      } else { sb.append(Character.toLowerCase(c)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 
   /** §5.3 recomposition minus fragment, with normalization applied. */
   private def recompose(scheme: String, authority: String, path: String, query: String): String = {

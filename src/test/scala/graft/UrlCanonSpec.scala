@@ -118,6 +118,23 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  // IDN + reg-name percent normalization [PINNED]: literal non-ASCII
+  // labels → punycode; unreserved escapes decode; other escapes keep
+  // uppercase hex; everything idempotent
+  test("IDN hosts and percent-encoded reg-names") {
+    assert(UrlCanon.canonicalize("http://MÜNCHEN.example/x") == "http://xn--mnchen-3ya.example/x")
+    assert(UrlCanon.canonicalize("http://bücher.example/") == "http://xn--bcher-kva.example/")
+    assert(UrlCanon.canonicalize("http://ex%41mple.com/a") == "http://example.com/a")
+    assert(UrlCanon.canonicalize("http://b%c3%bccher.example/") == "http://b%C3%BCcher.example/")
+    Seq("http://MÜNCHEN.example/x", "http://ex%41mple.com/a",
+      "http://b%c3%bccher.example/", "https://δοκιμή.example:8443/p?q").foreach { u =>
+      val c = UrlCanon.canonicalize(u)
+      assert(c != null, u)
+      assert(UrlCanon.canonicalize(c) == c, s"not idempotent: $u -> $c")
+      assert(UrlCanon.hostOf(c).forall(_ <= '\u007f'), s"host not ASCII: $c")
+    }
+  }
+
   // the zero-alloc fast path must NEVER accept a URL the canonicalizer
   // would change — property-check it across RFC vectors, corpus-shaped
   // URLs, tricky shapes, and (for effectiveness) canonical outputs
