@@ -147,7 +147,7 @@ final class CrawlEngine(
     store.commit(store.entryJson(0, -1,
       Map("frontier" -> nSeeds, "seen_delta" -> nSeeds, "fetchlog" -> 0L),
       lineage, Map("fetched_total" -> 0.0), Seq(store.seenDeltaPath(0)),
-      bloomPaths.toSeq))
+      bloomPaths.toSeq, cfg.partitions))
   }
 
   private def bucketCounts(df: DataFrame): Seq[Long] = {
@@ -179,8 +179,21 @@ final class CrawlEngine(
           s"SORTED BY (url_hash) INTO ${cfg.partitions} BUCKETS " +
           s"LOCATION '${new java.io.File(bp).getAbsolutePath}'")
     }
+    // fail fast on config/snapshot mismatches: bucketed files, pmod
+    // shards and lineage arrays are all laid out by `partitions`, and a
+    // silent mismatch would corrupt the exact anti-join (review finding)
+    val snapP = store.livePartitions()
+    require(snapP == 0 || snapP == cfg.partitions,
+      s"snapshot at $snapshotRoot was written with partitions=$snapP; " +
+        s"resume requires the same (config has ${cfg.partitions})")
     var bloomReader: Option[BloomShardReader] =
-      if (cfg.useBloom) Some(new BloomShardReader(store.liveBloomPaths())) else None
+      if (cfg.useBloom) {
+        val paths = store.liveBloomPaths()
+        require(paths.length == cfg.partitions,
+          s"snapshot has ${paths.length} bloom shards but config expects " +
+            s"${cfg.partitions} (useBloom toggled across resume, or partitions changed)")
+        Some(new BloomShardReader(paths))
+      } else None
     val lastEntry = store.readManifest().lastOption
     var fetchedSoFar = lastEntry
       .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
@@ -271,9 +284,12 @@ final class CrawlEngine(
           sum(when(col("status") === "missing", 1L).otherwise(0L)).as("missing"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       lap("fetchjoin-def")
+      // NO coalesce here: this write is the action that MATERIALIZES the
+      // fetched cache (scheduler + GlobalOrder + fetch join) — a coalesce
+      // above an unpopulated cache would run that whole chain at
+      // snapshotWriteFiles-way parallelism (review finding)
       fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
           "rn", "fetch_ts", "status", "doc_id")
-        .coalesce(cfg.snapshotWriteFiles)
         .write.mode("overwrite").parquet(store.fetchLogPath(round))
 
       // status metrics: ≤4 rows off the fetched cache. Denied/carried
@@ -360,10 +376,10 @@ final class CrawlEngine(
 
       // ---- commit round R+1 snapshot ----
       lap("newurls-def")
+      // likewise uncoalesced: materializes the extraction + probe chain
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
-      delta.coalesce(cfg.snapshotWriteFiles)
-        .write.mode("overwrite").parquet(store.seenDeltaPath(next))
+      delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
       val candCount = obsLong(candObs, "n")
       lap("delta-write")
       // frontier sink depends only on the schedAll/newUrls caches — it
@@ -437,7 +453,7 @@ final class CrawlEngine(
       store.commit(store.entryJson(next, round,
         Map("frontier" -> frontierRows, "seen_delta" -> newCount,
           "fetchlog" -> schedCount),
-        lineage, metrics, seenPaths, bloomPaths.toSeq))
+        lineage, metrics, seenPaths, bloomPaths.toSeq, cfg.partitions))
 
       Seq(schedAll, sched, fetched, newUrls).foreach(_.unpersist())
       probeCleanup() // release the bloom probe-stage cache

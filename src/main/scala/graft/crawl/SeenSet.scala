@@ -161,16 +161,22 @@ object SeenSet {
           } else ShardFilter.create(kind, capacityPerShard, fpp)
         var n = 0L
         it.foreach { h => bf.put(h); n += 1 }
-        val tmp = Paths.get(s"$outDir/.shard-$pid.${UUID.randomUUID()}.tmp")
+        // CONTENT-UNIQUE filename (uuid): shard files are immutable once
+        // written, so the executor-level BloomShardCache can key on path
+        // alone — a fixed name would let a same-JVM rebuild (runFresh on
+        // the same snapshotRoot) serve a stale cached filter and break
+        // the no-false-negative invariant
+        val name = s"shard-$pid.${UUID.randomUUID()}.bin"
+        val tmp = Paths.get(s"$outDir/.$name.tmp")
         val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
         try bf.writeTo(out) finally out.close()
-        Files.move(tmp, Paths.get(s"$outDir/shard-$pid.bin"),
+        Files.move(tmp, Paths.get(s"$outDir/$name"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        (pid, n)
+        (pid, n, s"$outDir/$name")
       }
       .collect()
     val paths = prevPaths.clone()
-    updated.foreach { case (pid, _) => paths(pid) = s"$outDir/shard-$pid.bin" }
+    updated.foreach { case (pid, _, path) => paths(pid) = path }
     val byPid = updated.map(t => t._1 -> t._2).toMap
     (paths, (0 until P).map(i => byPid.getOrElse(i, 0L)))
   }

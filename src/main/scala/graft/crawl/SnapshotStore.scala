@@ -96,10 +96,12 @@ final class SnapshotStore(val root: String) {
     * BASELINE.json:14 "per-partition lineage + metrics". */
   def entryJson(round: Int, parent: Int, rows: Map[String, Long],
                 lineage: Seq[Long], metrics: Map[String, Double],
-                seenPaths: Seq[String], bloomPaths: Seq[String] = Seq.empty): String = {
+                seenPaths: Seq[String], bloomPaths: Seq[String] = Seq.empty,
+                partitions: Int = 0): String = {
     val node = mapper.createObjectNode()
     node.put("round", round)
     node.put("parent", parent)
+    node.put("partitions", partitions)
     val rowsNode = node.putObject("rows")
     rows.toSeq.sortBy(_._1).foreach { case (k, v) => rowsNode.put(k, v) }
     val lin = node.putArray("seen_delta_partition_rows")
@@ -118,6 +120,13 @@ final class SnapshotStore(val root: String) {
     readManifest().lastOption.map(
       _("seen_paths").asInstanceOf[java.util.List[String]]
         .asScala.toSeq).getOrElse(Seq.empty)
+
+  /** Partition/shard count the snapshot was written with (0 = unknown,
+    * pre-round-2 manifests). */
+  def livePartitions(): Int =
+    readManifest().lastOption
+      .flatMap(e => Option(e.getOrElse("partitions", null)))
+      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
 
   /** Per-shard bloom file paths as of the last committed round (null
     * entries = never-written shards); empty when blooms are disabled. */

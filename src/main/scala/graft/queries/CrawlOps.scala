@@ -123,8 +123,14 @@ object CrawlOps {
         .select("url_hash").persist()
       val shardDir = s"target/q08-shards/${CorpusGen.tierFor(dir).name}"
       val (paths, _) = SeenSet.buildShards(s, seen, None, shardDir, 8, 200000L, 0.01)
-      val (result, _) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
-      result.select("url_canon").orderBy("url_canon")
+      val (result, cleanup) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
+      // materialize, then release the probe-stage + seen caches (the
+      // cleanup thunk exists precisely so callers don't leak them)
+      val out = result.select("url_canon").orderBy("url_canon").persist()
+      out.count()
+      cleanup()
+      seen.unpersist(false)
+      out
     }),
 
     // E1 flagship: the full crawl; returns the global fetch log
@@ -183,8 +189,10 @@ object CrawlOps {
 
   /** Golden fixtures written by graft.oracle.GoldenOracles during Verify
     * (independent sequential-model output — the DuckDB side of the
-    * driver's gate just reads them). */
-  private val GOLD = "/root/repo/target/golden/sf0.01"
+    * driver's gate just reads them). Single-sourced from GoldenOracles so
+    * the writer and the oracle SQL cannot drift; pinned to the
+    * correctness tier (Verify always runs at sf0.01, TESTDATA.md). */
+  private val GOLD = graft.oracle.GoldenOracles.dirFor(CorpusGen.Correctness)
 
   val oracle: Map[String, String] = Map(
     "q09_crawl" ->

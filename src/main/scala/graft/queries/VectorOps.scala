@@ -223,8 +223,10 @@ object VectorOps {
   )
 
   /** Golden fixtures from the independent plain-Scala ANN model
-    * (graft.oracle.GoldenOracles), written during Verify. */
-  private val GOLD = "/root/repo/target/golden/sf0.01"
+    * (graft.oracle.GoldenOracles), written during Verify. Single-sourced
+    * path (pinned to the correctness tier — Verify runs at sf0.01). */
+  private val GOLD =
+    graft.oracle.GoldenOracles.dirFor(graft.corpus.CorpusGen.Correctness)
 
   val oracle: Map[String, String] = Map(
     "q29_ann_lsh" ->

@@ -161,8 +161,14 @@ object UrlCanon {
       if (host.indexOf('%') >= 0) host = normalizePercent(host)
       host = canonHostCase(host)
       if (host.exists(_ > '\u007f')) {
+        // re-run the percent+case normalization on the IDN output: IDN's
+        // nameprep case-folds everything (including preserved escape hex,
+        // %C3 -> %c3), so the raw output would not be a fixed point of
+        // canonicalize (round-2 review repro) — normalizePercent restores
+        // uppercase hex, canonHostCase lowercases the rest
         host =
-          try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+          try canonHostCase(normalizePercent(
+            java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED)))
           catch { case _: IllegalArgumentException => return null }
       }
     } else host = host.toLowerCase

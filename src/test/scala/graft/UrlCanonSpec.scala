@@ -127,7 +127,11 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(UrlCanon.canonicalize("http://ex%41mple.com/a") == "http://example.com/a")
     assert(UrlCanon.canonicalize("http://b%c3%bccher.example/") == "http://b%C3%BCcher.example/")
     Seq("http://MÜNCHEN.example/x", "http://ex%41mple.com/a",
-      "http://b%c3%bccher.example/", "https://δοκιμή.example:8443/p?q").foreach { u =>
+      "http://b%c3%bccher.example/", "https://δοκιμή.example:8443/p?q",
+      // mixed literal non-ASCII + escapes: IDN output must not lowercase
+      // the preserved escape hex (round-2 review repro)
+      "http://ü%c3.example/", "http://münchen%2f.example/x",
+      "http://ü.b%c3xyz.example/").foreach { u =>
       val c = UrlCanon.canonicalize(u)
       assert(c != null, u)
       assert(UrlCanon.canonicalize(c) == c, s"not idempotent: $u -> $c")
