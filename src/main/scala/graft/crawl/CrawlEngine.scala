@@ -262,11 +262,12 @@ final class CrawlEngine(
       // plan (GlobalOrder), no counting pre-job; the scheduled row count
       // rides the fetch-log write as an Observation
       val schedObs = new org.apache.spark.sql.Observation(s"sched-r$round")
+      // not persisted: the fetch join below is its only consumer, and the
+      // fetched cache is the round's reuse point
       val sched = GlobalOrder.withSeq(withinHostCap,
           Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
         .filter(col("seq") <= cfg.totalBudget)
         .observe(schedObs, count(lit(1)).as("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       lap("globalorder")
 
       // J3: simulated fetch → fetch-log sink (1st heavy action)
@@ -300,7 +301,7 @@ final class CrawlEngine(
         Option(o.get(k)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
       val schedCount = obsLong(schedObs, "n")
       if (schedCount == 0L) {
-        Seq(schedAll, sched, fetched).foreach(_.unpersist())
+        Seq(schedAll, fetched).foreach(_.unpersist())
         return false
       }
       val statusCounts = Map(
@@ -455,7 +456,7 @@ final class CrawlEngine(
           "fetchlog" -> schedCount),
         lineage, metrics, seenPaths, bloomPaths.toSeq, cfg.partitions))
 
-      Seq(schedAll, sched, fetched, newUrls).foreach(_.unpersist())
+      Seq(schedAll, fetched, newUrls).foreach(_.unpersist())
       probeCleanup() // release the bloom probe-stage cache
       round = next
       true
