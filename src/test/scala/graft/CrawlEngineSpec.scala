@@ -107,6 +107,21 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectLog(eNoBloom) == collectLog(engine))
   }
 
+  test("resume re-registers the bucketed seen base after catalog loss (fresh-session path)") {
+    engine // ensure the main crawl ran
+    val basePaths = engine.store.liveSeenPaths().filter(_.contains("/seen_base"))
+    assert(basePaths.nonEmpty, "main crawl should have compacted at least once")
+    val tableName = s"graft_seen_${java.lang.Integer.toHexString(snapDir("main").hashCode)}"
+    // simulate a new session: the in-memory catalog forgot the table
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    assert(!spark.catalog.tableExists(tableName))
+    val e2 = new CrawlEngine(spark, fixtureDir, snapDir("main"), cfg)
+    val summary = e2.resume() // crawl already drained — resumes and stops
+    assert(spark.catalog.tableExists(tableName), "resume must re-register the bucketed base")
+    assert(summary.totalSeen == oracleResult.seen.size)
+    assert(collectSeen(e2) == oracleResult.seen)
+  }
+
   test("cuckoo seen-filter variant produces the identical crawl") {
     val eCuckoo = new CrawlEngine(spark, fixtureDir, snapDir("cuckoo"),
       cfg.copy(seenFilter = "cuckoo"))
