@@ -28,6 +28,11 @@ final case class CrawlConfig(
   seenFilter: String = "bloom",
   /** Use the skew-safe two-phase scheduler (explicit salting path). */
   saltedScheduler: Boolean = true,
+  /** Robots filter as a Dataset join (RobotsJoin) instead of the
+    * broadcast codegen expression — the web-scale path when the rule
+    * table outgrows task serialization (10^7+ hosts). Identical crawl
+    * (tested); costs one extra frontier shuffle per round. */
+  robotsViaJoin: Boolean = false,
   /** Use the typed per-host heap (Q1) instead of the window scheduler
     * (W1); results must be identical — tests assert it. */
   typedHeapScheduler: Boolean = false,

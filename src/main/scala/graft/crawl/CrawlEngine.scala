@@ -86,6 +86,12 @@ final class CrawlEngine(
     delayByHost.toSeq.sortBy(_._1).toDF("host", "delay_ms")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** The rules as a Dataset — the robotsViaJoin path never collects them. */
+  private lazy val robotsRulesDf: DataFrame =
+    CorpusGen.robots(spark, fixtureDir)
+      .select("host", "allow", "path_prefix")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   // ---- public API ------------------------------------------------------
 
   /** Fresh crawl from the seed list; wipes any previous snapshots. */
@@ -230,11 +236,16 @@ final class CrawlEngine(
       val frontier = spark.read.parquet(store.frontierPath(round))
 
       // P4: robots filter — longest-prefix-match via a codegen'd
-      // expression over the compiled rule index (no UDF in the hot path)
-      val allowed = frontier
-        .withColumn("__allowed", Shim.col(RobotsAllows(
-          Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
-        .filter(col("__allowed")).drop("__allowed")
+      // expression over the compiled rule index (no UDF in the hot
+      // path), or the Dataset-join path when the rule table outgrows
+      // task serialization (cfg.robotsViaJoin — 10^7+ hosts)
+      val allowed =
+        if (cfg.robotsViaJoin)
+          RobotsJoin.filterAllowed(frontier, robotsRulesDf)
+        else frontier
+          .withColumn("__allowed", Shim.col(RobotsAllows(
+            Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
+          .filter(col("__allowed")).drop("__allowed")
 
       // W1/Q1: politeness schedule
       val hostMeta = hostMetaDf(hostReadyDf)

@@ -122,6 +122,14 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectSeen(e2) == oracleResult.seen)
   }
 
+  test("Dataset-join robots path (no broadcast index) produces the identical crawl") {
+    val eJoin = new CrawlEngine(spark, fixtureDir, snapDir("robotsjoin"),
+      cfg.copy(robotsViaJoin = true))
+    eJoin.runFresh()
+    assert(collectSeen(eJoin) == collectSeen(engine))
+    assert(collectLog(eJoin) == collectLog(engine))
+  }
+
   test("cuckoo seen-filter variant produces the identical crawl") {
     val eCuckoo = new CrawlEngine(spark, fixtureDir, snapDir("cuckoo"),
       cfg.copy(seenFilter = "cuckoo"))
