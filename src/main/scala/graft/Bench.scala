@@ -36,6 +36,12 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      // no-leaked-cache gate: a query that persists without unpersisting
+      // (the round-2 q35 leak) must not skew the queries after it
+      if (!org.apache.spark.sql.graftinternal.Shim.cacheIsEmpty(spark)) {
+        System.err.println(s"[bench] WARNING: $name leaked cached data — clearing")
+        spark.catalog.clearCache()
+      }
       name -> sec
     }
 

@@ -38,4 +38,29 @@ package object functions {
   /** Skew-spreading salt in [0, k) for hot hosts (BASELINE.json:14). */
   def url_salt(canonicalUrl: Column, k: Int): Column =
     pmod(xxhash64(canonicalUrl), lit(k.toLong))
+
+  // ---- codegen vector kernels (array<double>) — see VectorExpressions --
+
+  def vec_dot(a: Column, b: Column): Column =
+    Shim.col(DotProduct(Shim.expr(a), Shim.expr(b)))
+
+  def vec_cosine(a: Column, b: Column): Column =
+    Shim.col(CosineSim(Shim.expr(a), Shim.expr(b)))
+
+  def vec_dist2(a: Column, b: Column): Column =
+    Shim.col(Dist2(Shim.expr(a), Shim.expr(b)))
+
+  /** One LSH table's random-hyperplane signature from precomputed
+    * weights (rows = bits, cols = vector dims). */
+  def rhp_sig(vec: Column, weights: Array[Array[Double]]): Column =
+    Shim.col(RhpSig(Shim.expr(vec), weights))
+
+  /** Nearest-centroid id (IVF coarse quantizer); `cents` must be sorted
+    * ascending by cid. */
+  def nearest_centroid(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    Shim.col(NearestCentroid(Shim.expr(vec), cents.map(_._1), cents.map(_._2)))
+
+  /** The nprobe nearest cell ids by (dist2, cid). */
+  def probe_cells(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column =
+    Shim.col(ProbeCells(Shim.expr(vec), cents.map(_._1), cents.map(_._2), nprobe))
 }

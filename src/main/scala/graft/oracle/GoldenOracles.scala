@@ -74,13 +74,20 @@ object GoldenOracles {
     (h % 1001L).toDouble - 500.0
   }
 
-  private def rhpSig(v: Array[Double], firstPlane: Int, bits: Int): Long = {
+  /** Signature from PRECOMPUTED weights w(p,d) = planeNum(p,d)/500.0 —
+    * since round 3 this is the one [PINNED] RHP formula for q29 AND q36
+    * (the engine computes it in the codegen RhpSig expression from the
+    * same driver-precomputed weights; round 2's q29 divided by 500 after
+    * the multiply instead, a different IEEE association — both sides
+    * moved in lockstep). */
+  private def rhpSigW(v: Array[Double], w: Array[Array[Double]], firstPlane: Int,
+                      bits: Int): Long = {
     var sig = 0L
     var j = 0
     while (j < bits) {
-      val p = firstPlane + j
+      val wp = w(firstPlane + j)
       var acc = 0.0; var d = 0
-      while (d < v.length) { acc += v(d) * planeNum(p, d) / 500.0; d += 1 }
+      while (d < v.length) { acc += v(d) * wp(d); d += 1 }
       if (acc >= 0) sig |= (1L << j)
       j += 1
     }
@@ -109,8 +116,11 @@ object GoldenOracles {
 
   def annLsh(emb: Array[(Long, Array[Double])], tables: Int = 4, bits: Int = 4,
              k: Int = 5): Seq[AnnRow] = {
+    val dim = emb.head._2.length
+    val w: Array[Array[Double]] =
+      Array.tabulate(tables * bits, dim)((p, d) => planeNum(p, d) / 500.0)
     val sigs: Map[Long, Array[Long]] = emb.map { case (id, v) =>
-      id -> Array.tabulate(tables)(t => rhpSig(v, t * bits, bits))
+      id -> Array.tabulate(tables)(t => rhpSigW(v, w, t * bits, bits))
     }.toMap
     val byId = emb.toMap
     emb.collect { case (qid, qv) if qid % 40 == 0 =>
@@ -166,7 +176,7 @@ object GoldenOracles {
   final case class NearDupRow(vec_a: Long, vec_b: Long, cos4: Double)
 
   def embedNearDup(emb: Array[(Long, Array[Double])], tables: Int = 4, bits: Int = 6,
-                   thresh: Double = 0.9): Seq[NearDupRow] = {
+                   thresh: Double = 0.9, bucketCap: Int = 64): Seq[NearDupRow] = {
     val dim = emb.head._2.length
     // pinned plane weights: (md5_6("p_d") % 1001 - 500) / 500, driver-evaluated
     val w: Array[Array[Double]] =
@@ -177,19 +187,15 @@ object GoldenOracles {
         (id + 2000000L, Array.tabulate(v.length)(d => v(d) + 0.05 * ((d % 7) - 3).toDouble))
       }
     val sigs: Array[Array[Long]] = aug.map { case (_, v) =>
-      Array.tabulate(tables) { t =>
-        var sig = 0L
-        var j = 0
-        while (j < bits) {
-          val wp = w(t * bits + j)
-          var acc = 0.0; var d = 0
-          while (d < v.length) { acc += v(d) * wp(d); d += 1 }
-          if (acc >= 0) sig |= (1L << j)
-          j += 1
-        }
-        sig
-      }
+      Array.tabulate(tables)(t => rhpSigW(v, w, t * bits, bits))
     }
+    // [PINNED round 3] mega-bucket cap, mirroring the engine's q25-style
+    // hot-bucket anti-join: collisions only count through (t, sig)
+    // buckets of size ≤ bucketCap
+    val bucketSize = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    sigs.foreach(sa => (0 until tables).foreach { t =>
+      val k = (t, sa(t)); bucketSize(k) = bucketSize.getOrElse(k, 0) + 1
+    })
     val out = Seq.newBuilder[NearDupRow]
     var i = 0
     while (i < aug.length) {
@@ -197,7 +203,8 @@ object GoldenOracles {
       while (k < aug.length) {
         val (ia, va) = aug(i); val (ib, vb) = aug(k)
         val (a, b, xa, xb) = if (ia < ib) (ia, ib, va, vb) else (ib, ia, vb, va)
-        val collide = (0 until tables).exists(t => sigs(i)(t) == sigs(k)(t))
+        val collide = (0 until tables).exists(t =>
+          sigs(i)(t) == sigs(k)(t) && bucketSize((t, sigs(i)(t))) <= bucketCap)
         if (collide) {
           val c = cosine(xa, xb)
           if (c >= thresh) out += NearDupRow(a, b, round4(c))

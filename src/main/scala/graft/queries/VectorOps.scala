@@ -1,58 +1,37 @@
 package graft.queries
 
+import graft.functions.{nearest_centroid, probe_cells, rhp_sig, vec_cosine, vec_dist2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.t
 
 /** Similarity search over the embeddings table (Array[Float], dim 64):
-  * brute-force cosine top-k as the exact baseline, and a
-  * random-hyperplane LSH-bucketed variant as the scale path (buckets
-  * bound the candidate set; at 100 TB the bucket join replaces the
-  * all-pairs cross join, trading recall for a ~2^bits candidate
-  * reduction — recall is asserted in LshAnnSpec).
+  * brute-force cosine top-k as the exact baseline, and LSH/IVF-bucketed
+  * variants as the scale paths (buckets bound the candidate set; at
+  * 100 TB the bucket/cell equi-join replaces the all-pairs cross join,
+  * trading recall for a ~2^bits candidate reduction — recall is
+  * asserted in LshAnnSpec).
+  *
+  * All distance kernels are codegen Catalyst expressions
+  * (graft.functions.VectorExpressions) since round 3 — the round-2
+  * interpreted `aggregate(zip_with(...))` HOF forms were the measured
+  * cause of the q35 bench regression. Fold orders are IEEE-bit-identical
+  * to the former forms and to the independent golden oracle
+  * (GoldenOracles), so results are unchanged.
   */
 object VectorOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** float→double widening is exact; Cast over arrays is codegen'd
+    * (the former `transform(...)` HOF was interpreted). */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Random-hyperplane signature over planes [firstPlane, firstPlane+bits);
-    * plane weights are md5-derived (deterministic, identical across
-    * engines and runs). */
-  def rhpSignature(vec: Column, firstPlane: Int, bits: Int): Column = {
-    val sig = (0 until bits).map { j =>
-      val p = firstPlane + j
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x * (pmod(conv(substring(md5(concat(lit(p + "_"), d.cast("string"))), 1, 6), 16, 10)
-            .cast("long"), lit(1001L)).cast("double") - 500.0) / 500.0),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(0L)
-    }
-    sig.reduce(_ + _)
-  }
-
-  /** Multi-table LSH signatures: array of (table, signature) structs —
-    * L independent tables amplify recall (candidate iff ANY table
-    * collides), the classic L×(bits) construction. */
-  def rhpTables(vec: Column, tables: Int, bits: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("t"), rhpSignature(vec, t * bits, bits).as("sig"))
-    }: _*)
-
-  /** Driver-side md5-derived plane weights (same [PINNED] formula as
-    * [[rhpSignature]], evaluated once instead of per row×element — the
-    * interpreted-HOF lesson from q25): w(p,d) = (md5₆("p_d") % 1001 −
-    * 500) / 500. */
+  /** Driver-side md5-derived plane weights ([PINNED] formula, mirrored
+    * in GoldenOracles): w(p,d) = (md5₆("p_d") % 1001 − 500) / 500. */
   def planeWeights(planes: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dim) { (p, d) =>
@@ -62,16 +41,15 @@ object VectorOps {
     }
   }
 
-  /** Multi-table signatures from precomputed weight literals — one
-    * dot-product fold per plane, no per-element hashing. */
-  def rhpTablesLit(vec: Column, weights: Array[Array[Double]], tables: Int, bits: Int): Column = {
-    def sig(t: Int): Column = (0 until bits).map { j =>
-      val w = typedLit(weights(t * bits + j).toSeq)
-      val proj = aggregate(zip_with(vec, w, (x, wd) => x * wd), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    array((0 until tables).map(t => struct(lit(t).as("t"), sig(t).as("sig"))): _*)
-  }
+  /** Multi-table LSH signatures: array of (table, signature) structs —
+    * L independent tables amplify recall (candidate iff ANY table
+    * collides), the classic L×(bits) construction. One codegen vector
+    * pass per table. */
+  def rhpTables(vec: Column, weights: Array[Array[Double]], tables: Int, bits: Int): Column =
+    array((0 until tables).map { tb =>
+      struct(lit(tb).as("t"),
+        rhp_sig(vec, weights.slice(tb * bits, (tb + 1) * bits)).as("sig"))
+    }: _*)
 
   val queries: Map[String, Q] = Map(
 
@@ -94,11 +72,15 @@ object VectorOps {
 
     // LSH-bucketed ANN: multi-table (4×4-bit) random-hyperplane buckets;
     // candidate iff any table collides, then exact cosine re-rank.
-    // (no oracle — recall vs brute force asserted in LshAnnSpec)
+    // Signatures use the precomputed-weight codegen path ([PINNED]
+    // formula shared with q36 and the golden oracle since round 3).
     "q29_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"), col("v"), explode(rhpTables(col("v"), 4, 4)).as("ts"))
+      val dim = raw.select(size(col("v"))).head().getInt(0)
+      val W = planeWeights(16, dim)
+      val emb = raw
+        .select(col("vec_id"), col("v"), explode(rhpTables(col("v"), W, 4, 4)).as("ts"))
         .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
       val q = emb.filter(col("vec_id") % 40 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("sig"))
@@ -117,51 +99,40 @@ object VectorOps {
     }),
 
     // IVF ANN: deterministic k-means-lite coarse quantizer (K=16, one
-    // Lloyd step, nprobe=2), candidates restricted to the probed cells —
-    // the second scale path next to q29's LSH (at 100 TB the cell join
-    // replaces the all-pairs cross join; recall asserted in LshAnnSpec)
+    // Lloyd step, nprobe=2), candidates restricted to the probed cells.
+    // Round-3 shape: cell assignment is a single codegen
+    // nearest_centroid pass (round 2 crossJoined 16 broadcast centroids
+    // and groupBy-min'd — 16× the rows plus a shuffle, per assign pass,
+    // through interpreted dist2; with the leaked `emb.persist()` that
+    // was the round-2 bench's one big regression). Nothing is persisted.
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .persist()
-      def dist2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-      def centroidDf(cents: Array[(Int, Seq[Double])]) = {
-        import s.implicits._
-        cents.toSeq.toDF("cid", "c")
-      }
       // deterministic seeding: every 31st vec_id, first 16
-      val seeds0 = emb.filter(col("vec_id") % 31 === 0)
-        .orderBy("vec_id").limit(16).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-      def assign(cents: Array[(Int, Seq[Double])]) =
-        emb.crossJoin(broadcast(centroidDf(cents)))
-          .withColumn("d2", dist2(col("v"), col("c")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"))
+      val seeds0: Array[(Int, Array[Double])] =
+        emb.filter(col("vec_id") % 31 === 0)
+          .orderBy("vec_id").limit(16).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
       // one Lloyd step: element-wise mean per cell. The sum goes through
       // DECIMAL so it is order-independent (a double sum's value depends
       // on shuffle arrival order) — the q35 result is then exactly
       // reproducible by the independent golden oracle (GoldenOracles).
-      val cents1 = assign(seeds0)
-        .join(emb, Seq("vec_id"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1))).as("x"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cid"), transform(col("px"), p => p.getField("x")).as("c"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      val cells = assign(cents1).join(emb, Seq("vec_id"))
-      // queries probe their 2 nearest cells
-      val w2 = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cid").asc)
+      val cents1: Array[(Int, Array[Double])] =
+        emb.withColumn("cid", nearest_centroid(col("v"), seeds0))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1))).as("x"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+          .select(col("cid"), transform(col("px"), p => p.getField("x")).as("c"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1) // ascending cid — the expressions' tie-break contract
+      val cells = emb.withColumn("cid", nearest_centroid(col("v"), cents1))
+      // queries probe their 2 nearest cells (one codegen pass, no
+      // centroid crossJoin / row_number)
       val probes = emb.filter(col("vec_id") % 40 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .crossJoin(broadcast(centroidDf(cents1)))
-        .withColumn("d2", dist2(col("qv"), col("c")))
-        .withColumn("pr", row_number().over(w2))
-        .filter(col("pr") <= 2)
-        .select("query_id", "qv", "cid")
+        .select(col("query_id"), col("qv"),
+          explode(probe_cells(col("qv"), cents1, 2)).as("cid"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
       probes.join(cells, Seq("cid"))
@@ -179,9 +150,13 @@ object VectorOps {
     // collisions (equi-join — no all-pairs cross join at scale), then
     // exact cosine ≥ 0.9 confirms. The raw embeddings table has no
     // near-dups, so deterministic exact + perturbed copies are appended
-    // (same [PINNED] formula in the golden oracle). Verified against the
-    // independent plain-Scala model (GoldenOracles.embedNearDup).
+    // (same [PINNED] formula in the golden oracle). Band buckets larger
+    // than BUCKET_CAP are dropped before the self-join [PINNED, round 3
+    // — the q25 mega-bucket hygiene: a dense near-dup cluster at 100 TB
+    // would otherwise make the bucket join quadratic in the largest
+    // bucket; the same cap is applied in GoldenOracles.embedNearDup].
     "q36_embed_neardup" -> ((s, dir) => {
+      val BUCKET_CAP = 64
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val emb = raw
@@ -194,10 +169,14 @@ object VectorOps {
       val dim = raw.select(size(col("v"))).head().getInt(0)
       val W = planeWeights(24, dim)
       val banded = emb
-        .select(col("vec_id"), col("v"), explode(rhpTablesLit(col("v"), W, 4, 6)).as("ts"))
+        .select(col("vec_id"), col("v"), explode(rhpTables(col("v"), W, 4, 6)).as("ts"))
         .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-      val a = banded.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
-      val b = banded.select(col("t"), col("sig"), col("vec_id").as("vec_b"))
+      // mega-bucket cap: hot buckets are few — broadcast anti-join them out
+      val hot = banded.groupBy("t", "sig").count()
+        .filter(col("count") > BUCKET_CAP).select("t", "sig")
+      val pruned = banded.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+      val a = pruned.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
+      val b = pruned.select(col("t"), col("sig"), col("vec_id").as("vec_b"))
       val pairs = a.join(b, Seq("t", "sig"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()

@@ -15,4 +15,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def col(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True iff no Dataset is cached in the session — Bench/Verify assert
+    * this between queries so one query's leaked persist cannot skew the
+    * next query's timing (the round-2 q35 leak depressed the five
+    * queries benched after it). `CacheManager` is `private[sql]`. */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }

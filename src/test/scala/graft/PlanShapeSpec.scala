@@ -111,6 +111,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("UDF"), s"no Scala UDF expected in the J1 stage:\n$p")
   }
 
+  test("vector kernels are codegen expressions — no interpreted HOFs in the hot path") {
+    // q28/q29/q35 must carry the round-3 codegen kernels; an interpreted
+    // aggregate/zip_with/transform in these plans is the q35-regression
+    // bug pattern coming back. (q36 keeps ONE zip_with in its perturbed-
+    // copy augmentation — a single data-prep pass, not a distance kernel.)
+    val p28 = plan(SparkEntry.queries("q28_cosine_topk")(spark, dir))
+    assert(p28.contains("vec_cosine"), s"q28 should use vec_cosine:\n$p28")
+    // (q29's vec_cosine hides inside SortAggregate's result projection —
+    // the exec's toString prints output attribute names only — so the
+    // presence check is on the signature kernel; the HOF-absence check
+    // below still covers the cosine.)
+    val p29 = plan(SparkEntry.queries("q29_ann_lsh")(spark, dir))
+    assert(p29.contains("rhp_sig"), s"q29 kernels:\n$p29")
+    val p35 = plan(SparkEntry.queries("q35_ann_ivf")(spark, dir))
+    assert(p35.contains("nearest_centroid") && p35.contains("probe_cells") &&
+      p35.contains("vec_cosine"), s"q35 kernels:\n$p35")
+    Seq("q28" -> p28, "q29" -> p29, "q35" -> p35).foreach { case (n, p) =>
+      assert(!p.contains("zip_with") && !p.contains("aggregate("),
+        s"$n still carries an interpreted HOF:\n$p")
+    }
+  }
+
+  test("q36 caps hot LSH buckets with a broadcast anti-join (q25 hygiene)") {
+    val p = plan(SparkEntry.queries("q36_embed_neardup")(spark, dir))
+    assert(p.contains("LeftAnti"), s"expected hot-bucket anti-join:\n$p")
+    assert(p.contains("rhp_sig"), s"expected codegen signatures:\n$p")
+  }
+
   test("no RDD-based operators in any query plan (typed flatMapGroups excepted)") {
     val offenders = SparkEntry.queries.keys.filterNot(_ == "q09_crawl").filter { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
