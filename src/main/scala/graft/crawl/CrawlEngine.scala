@@ -48,21 +48,36 @@ final class CrawlEngine(
 
   val store = new SnapshotStore(snapshotRoot)
 
+  /** Frames persisted for the engine's lifetime — released by [[close]]
+    * so a finished crawl leaves no cached data behind (the round-2 q09
+    * bench leaked these into every query benched after it). */
+  private val lifetimeCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def keep(df: DataFrame): DataFrame = {
+    lifetimeCaches += df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release the engine's long-lived caches (hosting/docs/robots/delays).
+    * Safe to call once the crawl is done: every public accessor
+    * (fetchLog/seen/spansEmitted) reads committed snapshot parquet. */
+  def close(): Unit = {
+    lifetimeCaches.foreach(_.unpersist(false))
+    lifetimeCaches.clear()
+  }
+
   // ---- static inputs (read once, partitioned once, reused every round) --
 
   /** Simulated web: canonical URL hash → (host, doc, status). Persisted
     * pre-partitioned by page_hash so every round's fetch join reuses the
     * same exchange. */
   private lazy val hosting: DataFrame =
-    CorpusGen.hosting(spark, fixtureDir)
-      .repartition(cfg.partitions, col("page_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    keep(CorpusGen.hosting(spark, fixtureDir)
+      .repartition(cfg.partitions, col("page_hash")))
 
   /** The interleaved corpus (the binding input table, BASELINE.json:15). */
   private lazy val docs: DataFrame =
-    CorpusGen.interleaved(spark, fixtureDir)
-      .repartition(cfg.partitions, col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    keep(CorpusGen.interleaved(spark, fixtureDir)
+      .repartition(cfg.partitions, col("doc_id")))
 
   /** robots rules are tiny (≤ hosts × rules/host) — collected once and
     * broadcast; the allow decision is Google-style longest-prefix-match
@@ -81,16 +96,19 @@ final class CrawlEngine(
 
   private lazy val robotsIndex = new RobotsIndex(rulesByHost)
 
-  /** (host, delay_ms) — derived from the one-time robots collect. */
+  /** (host, delay_ms) — a DISTRIBUTED aggregate of the robots table
+    * (round 2 derived it from the driver-collected delayByHost map, so
+    * robotsViaJoin mode still funnelled O(#hosts) through the driver;
+    * review finding). The collected map now exists only for the
+    * typed-heap scheduler's documented sandbox-scale path. */
   private lazy val delaysDf: DataFrame =
-    delayByHost.toSeq.sortBy(_._1).toDF("host", "delay_ms")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    keep(CorpusGen.robots(spark, fixtureDir)
+      .groupBy("host").agg(max("crawl_delay_ms").as("delay_ms")))
 
   /** The rules as a Dataset — the robotsViaJoin path never collects them. */
   private lazy val robotsRulesDf: DataFrame =
-    CorpusGen.robots(spark, fixtureDir)
-      .select("host", "allow", "path_prefix")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    keep(CorpusGen.robots(spark, fixtureDir)
+      .select("host", "allow", "path_prefix"))
 
   // ---- public API ------------------------------------------------------
 
@@ -177,13 +195,18 @@ final class CrawlEngine(
     val baseTableName = s"graft_seen_${java.lang.Integer.toHexString(snapshotRoot.hashCode)}"
     def isBasePath(p: String): Boolean = p.contains("/seen_base")
     var basePath: Option[String] = seenPaths.find(isBasePath)
-    // resume in a fresh session: re-register the table over the manifest path
+    // Re-register the base table from the MANIFEST's path unconditionally
+    // (review finding): a crash between compaction's DROP+saveAsTable and
+    // store.commit leaves a catalog table pointing at an UNCOMMITTED base
+    // that contains the rolled-back round's delta — resuming against it
+    // would silently drop re-discovered URLs. The manifest is the only
+    // source of truth for what is committed.
+    spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
     basePath.foreach { bp =>
-      if (!spark.catalog.tableExists(baseTableName))
-        spark.sql(s"CREATE TABLE $baseTableName (url_hash BIGINT, url_canon STRING, " +
-          s"first_round INT) USING PARQUET CLUSTERED BY (url_hash) " +
-          s"SORTED BY (url_hash) INTO ${cfg.partitions} BUCKETS " +
-          s"LOCATION '${new java.io.File(bp).getAbsolutePath}'")
+      spark.sql(s"CREATE TABLE $baseTableName (url_hash BIGINT, url_canon STRING, " +
+        s"first_round INT) USING PARQUET CLUSTERED BY (url_hash) " +
+        s"SORTED BY (url_hash) INTO ${cfg.partitions} BUCKETS " +
+        s"LOCATION '${new java.io.File(bp).getAbsolutePath}'")
     }
     // fail fast on config/snapshot mismatches: bucketed files, pmod
     // shards and lineage arrays are all laid out by `partitions`, and a
@@ -256,10 +279,14 @@ final class CrawlEngine(
         if (cfg.typedHeapScheduler)
           Scheduler.typedHeap(spark, allowed, delayByHost, collectHostReady(hostReadyDf),
             cfg.defaultDelayMs)
+        // web-scale mode (robotsViaJoin): hostMeta is O(#hosts) — join it
+        // distributed instead of broadcasting through the driver
         else if (cfg.saltedScheduler)
-          Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs)
+          Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs,
+            broadcastMeta = !cfg.robotsViaJoin)
         else
-          Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs)
+          Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs,
+            broadcastMeta = !cfg.robotsViaJoin)
         ).observe(schedAllObs, count(lit(1)).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -337,10 +364,13 @@ final class CrawlEngine(
           .join(broadcast(delaysDf), Seq("host"), "left")
           .select(col("host"),
             (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"))
+        // snapshotWriteFiles-way, not coalesce(1): host-ready is O(#hosts)
+        // rows — one task would be a GB-scale single-task write at the
+        // 10^7–10^8-host scale (review finding)
         hostReadyDf.select(col("host"), col("ready_ts").as("v"))
           .unionByName(perHostAdd)
           .groupBy("host").agg(sum(col("v")).as("ready_ts"))
-          .coalesce(1)
+          .coalesce(cfg.snapshotWriteFiles)
           .write.mode("overwrite").parquet(store.hostReadyPath(next))
       }(scala.concurrent.ExecutionContext.global)
 
@@ -383,7 +413,8 @@ final class CrawlEngine(
       val seenParts =
         (if (deltaPaths.nonEmpty) Seq(spark.read.parquet(deltaPaths: _*)) else Seq.empty) ++
           basePath.map(_ => spark.table(baseTableName)).toSeq
-      val (newUrlsDf, probeCleanup) = SeenSet.newUrls(spark, cand, seenParts, bloomReader)
+      val (newUrlsDf, probeCleanup, candCountThunk) =
+        SeenSet.newUrls(spark, cand, seenParts, bloomReader)
       val newUrls = newUrlsDf.persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- commit round R+1 snapshot ----
@@ -392,7 +423,12 @@ final class CrawlEngine(
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
       delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
-      val candCount = obsLong(candObs, "n")
+      // exact count off the hot probe-stage cache when blooms are on —
+      // the candObs Observation stays only as the no-bloom fallback (its
+      // accumulators can double-fire on racing cache materialization in
+      // distributed runs, inflating the headline metric; review finding)
+      val candCount = candCountThunk.map(_())
+        .getOrElse(obsLong(candObs, "n"))
       lap("delta-write")
       // frontier sink depends only on the schedAll/newUrls caches — it
       // overlaps the shard build below

@@ -21,22 +21,29 @@ object RobotsJoin {
 
   /** `frontier`: (url_canon, url_hash, host, depth, ...);
     * `rules`: (host, allow, path_prefix). Returns the allowed subset of
-    * `frontier` with its original columns. */
+    * `frontier` with its original columns AND original row multiplicity:
+    * the verdict is aggregated per url_hash (the frontier's unique key,
+    * so the agg is correct regardless of duplicates) and semi-joined
+    * back — round 2 grouped by all frontier columns, which silently
+    * deduplicated identical rows, diverging from the broadcast
+    * RobotsAllows path if a duplicate ever reached the frontier
+    * (review finding). */
   def filterAllowed(frontier: DataFrame, rules: DataFrame): DataFrame = {
-    val cols = frontier.columns
     val r = rules.select(col("host"), col("allow").as("__r_allow"),
       col("path_prefix").as("__r_prefix"))
-    frontier
-      .withColumn("__path", path_of(col("url_canon")))
+    // best matching rule per URL: max (prefix length, allow) — longest
+    // prefix wins, allow beats disallow on equal length (true > false)
+    val allowedKeys = frontier
+      .select(col("url_hash"), col("host"), path_of(col("url_canon")).as("__path"))
+      .dropDuplicates("url_hash")
       .join(r, Seq("host"), "left")
       .withColumn("__m",
         col("__r_prefix").isNotNull && col("__path").startsWith(col("__r_prefix")))
-      // best matching rule per URL: max (prefix length, allow) — longest
-      // prefix wins, allow beats disallow on equal length (true > false)
-      .groupBy(cols.map(col): _*)
+      .groupBy(col("url_hash"))
       .agg(max(when(col("__m"),
         struct(length(col("__r_prefix")).as("len"), col("__r_allow").as("allow")))).as("__best"))
       .filter(col("__best").isNull || col("__best.allow"))
-      .select(cols.map(col): _*)
+      .select("url_hash")
+    frontier.join(allowedKeys, Seq("url_hash"), "left_semi")
   }
 }

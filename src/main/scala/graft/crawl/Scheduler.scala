@@ -32,19 +32,29 @@ object Scheduler {
   final case class ScheduledRow(url_canon: String, url_hash: Long, host: String, depth: Int,
     rn: Int, fetch_ts: Long)
 
-  private def withMeta(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame =
-    df.join(broadcast(hostMeta), Seq("host"), "left")
+  /** `broadcastMeta = false` is the web-scale mode: hostMeta is
+    * O(#hosts) (10^7–10^8 rows at the SURVEY sizing), which must not
+    * transit the driver as a broadcast — a plain shuffle join keeps it
+    * distributed end-to-end. The default broadcast is right below that
+    * threshold (one tiny exchange instead of shuffling the frontier). */
+  private def withMeta(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
+                       broadcastMeta: Boolean): DataFrame = {
+    val meta = if (broadcastMeta) broadcast(hostMeta) else hostMeta
+    df.join(meta, Seq("host"), "left")
       .withColumn("__delay", coalesce(col("delay_ms"), lit(defaultDelayMs)))
       .withColumn("__ready", coalesce(col("ready_ts"), lit(0L)))
       .drop("delay_ms", "ready_ts")
+  }
 
   private def finish(df: DataFrame): DataFrame =
     df.withColumn("fetch_ts", col("__ready") + (col("rn").cast("long") - 1L) * col("__delay"))
       .drop("__delay", "__ready")
 
-  def window(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame = {
+  def window(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
+             broadcastMeta: Boolean = true): DataFrame = {
     val w = Window.partitionBy("host").orderBy(col("depth"), col("url_hash"))
-    finish(withMeta(df, hostMeta, defaultDelayMs).withColumn("rn", row_number().over(w)))
+    finish(withMeta(df, hostMeta, defaultDelayMs, broadcastMeta)
+      .withColumn("rn", row_number().over(w)))
   }
 
   /** Explicit salting for skewed hosts (BASELINE.json:14): a Zipf-head
@@ -55,10 +65,11 @@ object Scheduler {
     * rank within (host, depth, salt). Both the in-group rank and the
     * offset table are computed distributedly; max task size drops from
     * |hot host| to |hot host| / 256. */
-  def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long): DataFrame = {
+  def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
+             broadcastMeta: Boolean = true): DataFrame = {
     val saltCol = shiftright(col("url_hash"), 56) // signed ⇒ monotonic in url_hash
     val wFine = Window.partitionBy("host", "depth", "__salt").orderBy(col("url_hash"))
-    val fine = withMeta(df, hostMeta, defaultDelayMs)
+    val fine = withMeta(df, hostMeta, defaultDelayMs, broadcastMeta)
       .withColumn("__salt", saltCol)
       .withColumn("__rnd", row_number().over(wFine))
     // cumulative offsets over the (depth, salt) groups of each host

@@ -190,11 +190,17 @@ object SeenSet {
     * broadcast. The probe is the codegen [[BloomMightContain]]
     * expression; callers should co-partition `cand` by
     * `pmod(url_hash, P)` so each executor loads only its own shards.
-    * Returns the result plus a cleanup thunk releasing the probe-stage
+    * Returns the result, a cleanup thunk releasing the probe-stage
     * cache — call it once the result has been materialized (round 1
-    * leaked one cached frame per crawl round). */
+    * leaked one cached frame per crawl round) — and, on the bloom path,
+    * an EXACT candidate-count thunk (a count() on the already-hot
+    * probe-stage cache; call it after materializing, before cleanup).
+    * The engine's headline dedup metric uses it instead of an
+    * Observation: the union above `tagged` has two consuming stages
+    * whose racing first-materialization can double-fire CollectMetrics
+    * accumulators on recomputed cache partitions (review finding). */
   def newUrls(spark: SparkSession, cand: DataFrame, seenParts: Seq[DataFrame],
-              reader: Option[BloomShardReader]): (DataFrame, () => Unit) = {
+              reader: Option[BloomShardReader]): (DataFrame, () => Unit, Option[() => Long]) = {
     def antiAll(df: DataFrame): DataFrame =
       seenParts.foldLeft(df)((acc, seen) =>
         acc.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
@@ -204,9 +210,11 @@ object SeenSet {
         val tagged = cand.withColumn("__maybe", probe).persist(StorageLevel.MEMORY_AND_DISK)
         val definitelyNew = tagged.filter(!col("__maybe")).drop("__maybe")
         val maybeSeen = antiAll(tagged.filter(col("__maybe")).drop("__maybe"))
-        (definitelyNew.unionByName(maybeSeen), () => { tagged.unpersist(false); () })
+        (definitelyNew.unionByName(maybeSeen),
+          () => { tagged.unpersist(false); () },
+          Some(() => tagged.count()))
       case None =>
-        (antiAll(cand), () => ())
+        (antiAll(cand), () => (), None)
     }
   }
 }

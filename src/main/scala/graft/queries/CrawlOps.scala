@@ -123,7 +123,7 @@ object CrawlOps {
         .select("url_hash").persist()
       val shardDir = s"target/q08-shards/${CorpusGen.tierFor(dir).name}"
       val (paths, _) = SeenSet.buildShards(s, seen, None, shardDir, 8, 200000L, 0.01)
-      val (result, cleanup) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
+      val (result, cleanup, _) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
       // materialize, then release the probe-stage + seen caches (the
       // cleanup thunk exists precisely so callers don't leak them)
       val out = result.select("url_canon").orderBy("url_canon").persist()
@@ -140,6 +140,7 @@ object CrawlOps {
       val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
       val engine = new CrawlEngine(s, d, s"target/crawl-run/${tier.name}", cfg)
       engine.runFresh()
+      engine.close() // release hosting/docs/robots caches (fetchLog reads parquet)
       engine.fetchLog()
         .select("seq", "url_canon", "host", "depth", "round", "fetch_ts", "status", "doc_id")
         .orderBy("seq")

@@ -122,6 +122,38 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectSeen(e2) == oracleResult.seen)
   }
 
+  test("resume ignores a stale catalog base table (crash between compaction and commit)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a mid-crawl snapshot that has ALREADY compacted (frequent cadence),
+    // so the resumed rounds genuinely probe the re-registered base
+    val root = snapDir("stalebase")
+    val scfg = cfg.copy(seenCompactEvery = 2)
+    val e1 = new CrawlEngine(spark, fixtureDir, root, scfg)
+    e1.runFresh(maxRounds = 3)
+    val basePaths = e1.store.liveSeenPaths().filter(_.contains("/seen_base"))
+    assert(basePaths.nonEmpty, "test needs a committed compaction mid-crawl")
+    // simulate a crash between a LATER compaction's DROP+saveAsTable and
+    // store.commit: the catalog table now points at an uncommitted base
+    // holding rolled-back hashes (here: every page, so reusing it would
+    // suppress all future discoveries)
+    val tableName = s"graft_seen_${java.lang.Integer.toHexString(root.hashCode)}"
+    val poisonLoc = new java.io.File(s"$root/uncommitted_base").getAbsolutePath
+    val poison = spark.read.parquet(basePaths: _*)
+      .unionByName(CorpusGen.hosting(spark, fixtureDir)
+        .select(col("page_hash").as("url_hash"), col("url_canon"), lit(999).as("first_round")))
+      .dropDuplicates("url_hash")
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    poison.repartition(scfg.partitions, col("url_hash"))
+      .write.format("parquet").bucketBy(scfg.partitions, "url_hash").sortBy("url_hash")
+      .option("path", poisonLoc).saveAsTable(tableName)
+    // resume must re-register the base from the MANIFEST, not trust the
+    // stale catalog entry — else the crawl silently loses URLs
+    val e2 = new CrawlEngine(spark, fixtureDir, root, scfg)
+    e2.resume()
+    assert(collectLog(e2) == collectLog(engine))
+    assert(collectSeen(e2) == collectSeen(engine))
+  }
+
   test("Dataset-join robots path (no broadcast index) produces the identical crawl") {
     val eJoin = new CrawlEngine(spark, fixtureDir, snapDir("robotsjoin"),
       cfg.copy(robotsViaJoin = true))
