@@ -46,7 +46,7 @@ final class CrawlEngine(
 
   import spark.implicits._
 
-  val store = new SnapshotStore(snapshotRoot)
+  val store = new SnapshotStore(snapshotRoot, spark.sparkContext.hadoopConfiguration)
 
   /** Frames persisted for the engine's lifetime — released by [[close]]
     * so a finished crawl leaves no cached data behind (the round-2 q09
@@ -125,8 +125,7 @@ final class CrawlEngine(
   /** Full crawl order: the fetch log of all committed rounds, in global
     * (round, fetch_ts, host, url_hash) order == seq order. */
   def fetchLog(): DataFrame = {
-    val rounds = store.committedRounds().filter(r =>
-      new java.io.File(store.fetchLogPath(r)).exists)
+    val rounds = store.committedRounds().filter(r => store.exists(store.fetchLogPath(r)))
     if (rounds.isEmpty) return spark.emptyDataFrame
     spark.read.parquet(rounds.map(store.fetchLogPath): _*)
   }
@@ -206,7 +205,7 @@ final class CrawlEngine(
       spark.sql(s"CREATE TABLE $baseTableName (url_hash BIGINT, url_canon STRING, " +
         s"first_round INT) USING PARQUET CLUSTERED BY (url_hash) " +
         s"SORTED BY (url_hash) INTO ${cfg.partitions} BUCKETS " +
-        s"LOCATION '${new java.io.File(bp).getAbsolutePath}'")
+        s"LOCATION '${store.qualified(bp)}'")
     }
     // fail fast on config/snapshot mismatches: bucketed files, pmod
     // shards and lineage arrays are all laid out by `partitions`, and a
@@ -221,7 +220,7 @@ final class CrawlEngine(
         require(paths.length == cfg.partitions,
           s"snapshot has ${paths.length} bloom shards but config expects " +
             s"${cfg.partitions} (useBloom toggled across resume, or partitions changed)")
-        Some(new BloomShardReader(paths))
+        Some(new BloomShardReader(paths, store.confSer))
       } else None
     val lastEntry = store.readManifest().lastOption
     var fetchedSoFar = lastEntry
@@ -448,7 +447,7 @@ final class CrawlEngine(
         case None => (Array.empty[String], bucketCounts(deltaBack))
       }
       lap("shard-build")
-      if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths))
+      if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths, store.confSer))
       val newCount = lineage.sum
 
       // Iceberg-style compaction: fold the delta chain into one base file
@@ -460,7 +459,7 @@ final class CrawlEngine(
         // absolute path: a relative LOCATION would resolve under the
         // spark-warehouse dir; clear any partial dir from a crashed run
         // (commits are atomic — an uncommitted base is garbage)
-        val bp = new java.io.File(store.seenBasePath(next)).getAbsolutePath
+        val bp = store.qualified(store.seenBasePath(next))
         store.deleteDir(bp)
         spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
         // repartition on url_hash matches the bucket hash → one file per

@@ -6,10 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftinternal.Shim
 import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
 import java.io.{BufferedInputStream, BufferedOutputStream, DataOutputStream}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 /** The URL-seen set (BASELINE.json:6): "partitioned bloom/cuckoo URL-seen
@@ -32,7 +32,9 @@ import java.util.UUID
   *    folds the new hashes in, and writes the next immutable version;
   *    only (shard, count) lineage pairs reach the driver.
   */
-final class BloomShardReader(val paths: Array[String]) extends Serializable {
+final class BloomShardReader(val paths: Array[String],
+    val conf: HadoopConfSer = new HadoopConfSer(new org.apache.hadoop.conf.Configuration()))
+  extends Serializable {
   def P: Int = paths.length
   def shardOf(h: Long): Int = (((h % P) + P) % P).toInt
 
@@ -40,7 +42,7 @@ final class BloomShardReader(val paths: Array[String]) extends Serializable {
     * written (nothing inserted) ⇒ definitely not contained. */
   def mightContain(h: Long): Boolean = {
     val p = paths(shardOf(h))
-    p != null && BloomShardCache.get(p).mightContain(h)
+    p != null && BloomShardCache.get(p, conf).mightContain(h)
   }
 }
 
@@ -100,11 +102,15 @@ object BloomShardCache {
         size() > MaxEntries
     })
 
-  def get(path: String): ShardFilter = {
+  def get(path: String, conf: HadoopConfSer): ShardFilter = {
     val hit = cache.get(path)
     if (hit != null) return hit
+    // shard files are immutable + content-unique-named, so path alone is
+    // a sound cache key; reads go through the Hadoop FS of the path's
+    // scheme (shared storage on a real cluster)
+    val p = new HPath(path)
     val in = new java.io.DataInputStream(
-      new BufferedInputStream(Files.newInputStream(Paths.get(path))))
+      new BufferedInputStream(p.getFileSystem(conf.value).open(p)))
     val f = try ShardFilter.readFrom(in) finally in.close()
     cache.put(path, f)
     f
@@ -145,18 +151,25 @@ object SeenSet {
                   outDir: String, P: Int, capacityPerShard: Long, fpp: Double,
                   kind: String = "bloom"): (Array[String], Seq[Long]) = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir))
+    // shard I/O goes through the Hadoop FS of outDir's scheme — shared
+    // storage on a real cluster (executors write, any executor reads);
+    // the session's hadoopConfiguration ships to the tasks serialized
+    val confSer = new HadoopConfSer(spark.sparkContext.hadoopConfiguration)
+    new HPath(outDir).getFileSystem(confSer.value).mkdirs(new HPath(outDir))
+    val bcConf = spark.sparkContext.broadcast(confSer)
     val prevPaths: Array[String] = prev.map(_.paths).getOrElse(Array.fill[String](P)(null))
     require(prevPaths.length == P, s"shard count changed: ${prevPaths.length} != $P")
     val bcPrev = spark.sparkContext.broadcast(prevPaths)
     val updated = hashes.select(col("url_hash")).as[Long]
       .groupByKey(h => (((h % P) + P) % P).toInt)
       .mapGroups { (pid, it) =>
+        val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
         val prevPath = bcPrev.value(pid)
         val bf =
           if (prevPath != null) {
+            val pp = new HPath(prevPath)
             val in = new java.io.DataInputStream(
-              new BufferedInputStream(Files.newInputStream(Paths.get(prevPath))))
+              new BufferedInputStream(fs.open(pp)))
             try ShardFilter.readFrom(in) finally in.close()
           } else ShardFilter.create(kind, capacityPerShard, fpp)
         var n = 0L
@@ -165,13 +178,15 @@ object SeenSet {
         // written, so the executor-level BloomShardCache can key on path
         // alone — a fixed name would let a same-JVM rebuild (runFresh on
         // the same snapshotRoot) serve a stale cached filter and break
-        // the no-false-negative invariant
+        // the no-false-negative invariant. Write-temp-then-rename keeps a
+        // killed task from leaving a half-written file under the final
+        // name; the uuid name makes retries collision-free.
         val name = s"shard-$pid.${UUID.randomUUID()}.bin"
-        val tmp = Paths.get(s"$outDir/.$name.tmp")
-        val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+        val tmp = new HPath(s"$outDir/.$name.tmp")
+        val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
         try bf.writeTo(out) finally out.close()
-        Files.move(tmp, Paths.get(s"$outDir/$name"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        require(fs.rename(tmp, new HPath(s"$outDir/$name")),
+          s"shard rename failed: $tmp -> $outDir/$name")
         (pid, n, s"$outDir/$name")
       }
       .collect()

@@ -2,14 +2,42 @@ package graft.crawl
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import scala.jdk.CollectionConverters._
+
+/** Serializable carrier for a Hadoop Configuration (Configuration itself
+  * is a Writable, not Serializable) — shipped to executors so shard
+  * build/probe tasks open the SAME FileSystem the driver committed
+  * through (HDFS/S3/local). Spark's own SerializableConfiguration is
+  * `private[spark]`. */
+final class HadoopConfSer(@transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** Iceberg-style snapshot layer over Parquet (SURVEY.md §0, §2.1 S3):
   * no Iceberg runtime jar exists in this sandbox, so the engine provides
   * its own immutable-data-files + manifest-log table format delivering the
   * north_rule's requirements (BASELINE.json:14): atomic per-round commits,
   * resume from any committed snapshot, per-partition lineage and metrics.
+  *
+  * All I/O goes through the Hadoop `FileSystem` API resolved from the
+  * root path's scheme (round 2 used `java.nio.file` local paths, which a
+  * spark-submit deployment on a real multi-executor cluster cannot use —
+  * snapshots must live on shared storage: HDFS, S3A, or a cluster-local
+  * scheme). The sandbox exercises the same code through
+  * `RawLocalFileSystem`. Manifest atomicity is a FileContext
+  * rename-with-OVERWRITE — the same single-FS rename primitive Iceberg's
+  * HadoopTableOperations uses.
   *
   * Layout under `root`:
   * {{{
@@ -33,11 +61,19 @@ import scala.jdk.CollectionConverters._
   * round directories without a manifest line are ignored on resume (the
   * atomic-commit contract).
   */
-final class SnapshotStore(val root: String) {
+final class SnapshotStore(val root: String,
+                          hadoopConf: Configuration = new Configuration()) {
 
   private val mapper = new ObjectMapper()
 
-  def manifestPath: Path = Paths.get(root, "manifest.jsonl")
+  /** The FS owning `root` (local in the sandbox; HDFS/S3A on a cluster). */
+  lazy val fs: FileSystem = new Path(root).getFileSystem(hadoopConf)
+  private lazy val fc: FileContext = FileContext.getFileContext(fs.getUri, hadoopConf)
+
+  /** Serializable conf for executor-side shard I/O (SeenSet). */
+  lazy val confSer: HadoopConfSer = new HadoopConfSer(hadoopConf)
+
+  def manifestPath: Path = new Path(root, "manifest.jsonl")
   def roundDir(r: Int): String = s"$root/round=$r"
   def frontierPath(r: Int): String = s"${roundDir(r)}/frontier"
   def seenDeltaPath(r: Int): String = s"${roundDir(r)}/seen_delta"
@@ -46,47 +82,53 @@ final class SnapshotStore(val root: String) {
   def bloomsDir(r: Int): String = s"${roundDir(r)}/blooms"
   def hostReadyPath(r: Int): String = s"${roundDir(r)}/hostready"
 
+  def exists(path: String): Boolean = fs.exists(new Path(path))
+
+  /** Fully-qualified URI form of `path` (e.g. for a bucketed table's
+    * LOCATION, where a bare relative path would resolve under the
+    * spark-warehouse dir). */
+  def qualified(path: String): String = fs.makeQualified(new Path(path)).toString
+
   def wipe(): Unit = deleteDir(root)
 
   def deleteDir(path: String): Unit = {
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    val p = Paths.get(path)
-    if (Files.exists(p)) rm(p)
+    val p = new Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def readManifestText(): Option[String] = {
+    if (!fs.exists(manifestPath)) return None
+    val in = fs.open(manifestPath)
+    try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
   }
 
   /** Rounds with a committed manifest line, ascending. */
-  def committedRounds(): Seq[Int] = {
-    if (!Files.exists(manifestPath)) return Seq.empty
-    Files.readAllLines(manifestPath).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map(l => mapper.readTree(l).get("round").asInt())
-  }
+  def committedRounds(): Seq[Int] =
+    readManifestText().map(_.linesIterator.filter(_.nonEmpty)
+      .map(l => mapper.readTree(l).get("round").asInt()).toSeq)
+      .getOrElse(Seq.empty)
 
   def lastCommitted(): Option[Int] = committedRounds().lastOption
 
-  def readManifest(): Seq[Map[String, Any]] = {
-    if (!Files.exists(manifestPath)) return Seq.empty
-    Files.readAllLines(manifestPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
+  def readManifest(): Seq[Map[String, Any]] =
+    readManifestText().map(_.linesIterator.filter(_.nonEmpty).map { l =>
       mapper.readValue(l, classOf[java.util.Map[String, Any]]).asScala.toMap
-    }
-  }
+    }.toSeq).getOrElse(Seq.empty)
 
-  /** Atomic append: rewrite manifest to temp + rename. Single-FS rename is
-    * the same atomicity primitive Iceberg's HadoopTableOperations uses. */
+  /** Atomic append: rewrite manifest to temp + rename-with-overwrite.
+    * Single-FS rename is the same atomicity primitive Iceberg's
+    * HadoopTableOperations uses (on S3A, FileContext maps this to the
+    * store's rename; object stores without atomic rename need a
+    * commit-service catalog — out of sandbox scope, noted in SURVEY). */
   def commit(entryJson: String): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val existing =
-      if (Files.exists(manifestPath))
-        new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
-      else ""
-    val tmp = Paths.get(root, s".manifest.tmp")
-    Files.write(tmp, (existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    fs.mkdirs(new Path(root))
+    val existing = readManifestText().getOrElse("")
+    val tmp = new Path(root, ".manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
 
   /** Serialize one manifest entry. `lineage` carries per-partition
