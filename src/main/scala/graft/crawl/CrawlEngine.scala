@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.corpus.CorpusGen
-import graft.functions.{canonicalize_url, extract_urls, host_of}
+import graft.functions.{canonicalize_url, extract_urls, host_of, ref_int}
 import graft.plans.GlobalOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graftinternal.Shim
@@ -48,6 +48,16 @@ final class CrawlEngine(
 
   val store = new SnapshotStore(snapshotRoot, spark.sparkContext.hadoopConfiguration)
 
+  // Explicit schemas for every per-round snapshot read: parquet schema
+  // inference re-reads footers each round (extra driver round-trips and
+  // jobs, some inside the concurrent-sink futures) for schemas the
+  // engine itself wrote and knows statically.
+  private val frontierSchema = "url_canon STRING, url_hash BIGINT, host STRING, depth INT"
+  private val seenSchema = "url_hash BIGINT, url_canon STRING, first_round INT"
+  private val hostReadySchema = "host STRING, ready_ts BIGINT, delay_ms BIGINT"
+  private val fetchLogSchema = "seq BIGINT, url_canon STRING, url_hash BIGINT, host STRING, " +
+    "depth INT, round INT, rn INT, fetch_ts BIGINT, status STRING, doc_id STRING"
+
   /** Frames persisted for the engine's lifetime — released by [[close]]
     * so a finished crawl leaves no cached data behind (the round-2 q09
     * bench leaked these into every query benched after it). */
@@ -67,17 +77,47 @@ final class CrawlEngine(
 
   // ---- static inputs (read once, partitioned once, reused every round) --
 
-  /** Simulated web: canonical URL hash → (host, doc, status). Persisted
-    * pre-partitioned by page_hash so every round's fetch join reuses the
-    * same exchange. */
+  /** One-time bucketed+sorted storage layout for a static input table
+    * (round-3 design): the per-round fetch join and docs join then scan
+    * vectorized parquet bucket-aligned with NO exchange, NO sort and NO
+    * broadcast — the same layout the seen base uses, and the only join
+    * shape that survives 10^10 URLs (neither side is broadcastable and
+    * per-round re-shuffles/sorts of the corpus are pure waste). Round 2
+    * held these in the columnar cache instead, paying cache
+    * deserialization on every scan of every round.
+    * Written once per (fixture, P) next to the fixtures (storage prep,
+    * like the fixtures themselves); re-registered in fresh sessions from
+    * the explicit DDL. */
+  private def bucketedInput(name: String, src: => DataFrame, key: String,
+                            ddl: String): DataFrame = {
+    val loc = s"$fixtureDir/bucketed-p${cfg.partitions}/$name"
+    val tbl = s"graft_${name}_${java.lang.Integer.toHexString(loc.hashCode)}"
+    val marker = s"$loc/_BUCKETED_DONE"
+    if (!store.exists(marker)) {
+      store.deleteDir(loc)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      src.repartition(cfg.partitions, col(key))
+        .write.format("parquet").bucketBy(cfg.partitions, key).sortBy(key)
+        .option("path", store.qualified(loc)).saveAsTable(tbl)
+      store.touch(marker)
+    } else if (!spark.catalog.tableExists(tbl)) {
+      spark.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO ${cfg.partitions} BUCKETS " +
+        s"LOCATION '${store.qualified(loc)}'")
+    }
+    spark.table(tbl)
+  }
+
+  /** Simulated web: canonical URL hash → (host, doc, status). */
   private lazy val hosting: DataFrame =
-    keep(CorpusGen.hosting(spark, fixtureDir)
-      .repartition(cfg.partitions, col("page_hash")))
+    bucketedInput("hosting", CorpusGen.hosting(spark, fixtureDir), "page_hash",
+      "page_hash BIGINT, url_canon STRING, host STRING, doc_id STRING, status STRING")
 
   /** The interleaved corpus (the binding input table, BASELINE.json:15). */
   private lazy val docs: DataFrame =
-    keep(CorpusGen.interleaved(spark, fixtureDir)
-      .repartition(cfg.partitions, col("doc_id")))
+    bucketedInput("interleaved", CorpusGen.interleaved(spark, fixtureDir), "doc_id",
+      "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, " +
+        "media_ref: STRING, offset: INT>>")
 
   /** robots rules are tiny (≤ hosts × rules/host) — collected once and
     * broadcast; the allow decision is Google-style longest-prefix-match
@@ -127,13 +167,13 @@ final class CrawlEngine(
   def fetchLog(): DataFrame = {
     val rounds = store.committedRounds().filter(r => store.exists(store.fetchLogPath(r)))
     if (rounds.isEmpty) return spark.emptyDataFrame
-    spark.read.parquet(rounds.map(store.fetchLogPath): _*)
+    spark.read.schema(fetchLogSchema).parquet(rounds.map(store.fetchLogPath): _*)
   }
 
   /** The authoritative (exact) seen set: the live (compacted base +
     * delta) files of the last committed round. */
   def seen(): DataFrame =
-    spark.read.parquet(store.liveSeenPaths(): _*)
+    spark.read.schema(seenSchema).parquet(store.liveSeenPaths(): _*)
 
   /** Ordered span sequences of every fetched ok document — the
     * byte-for-byte output invariant (BASELINE.json:15). */
@@ -155,16 +195,22 @@ final class CrawlEngine(
       .withColumn("host", host_of(col("url_canon")))
       .withColumn("depth", lit(0))
     seeds.write.mode("overwrite").parquet(store.frontierPath(0))
-    val delta = spark.read.parquet(store.frontierPath(0))
+    val delta = spark.read.schema(frontierSchema).parquet(store.frontierPath(0))
       .select(col("url_hash"), col("url_canon"), lit(0).as("first_round"))
     delta.write.mode("overwrite").parquet(store.seenDeltaPath(0))
     val (bloomPaths, lineage) =
       if (cfg.useBloom)
-        SeenSet.buildShards(spark, spark.read.parquet(store.seenDeltaPath(0)).select("url_hash"),
+        SeenSet.buildShards(spark,
+          spark.read.schema(seenSchema).parquet(store.seenDeltaPath(0)).select("url_hash"),
           None, store.bloomsDir(0), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp,
           cfg.seenFilter)
-      else (Array.empty[String], bucketCounts(spark.read.parquet(store.seenDeltaPath(0))))
-    Seq.empty[(String, Long)].toDF("host", "ready_ts")
+      else (Array.empty[String],
+        bucketCounts(spark.read.schema(seenSchema).parquet(store.seenDeltaPath(0))))
+    // host-ready carries delay_ms (static per host) so the scheduler's
+    // per-round hostMeta broadcast is a plain snapshot read — round 2
+    // shuffle-joined delays ⟗ ready inside every round's broadcast future
+    delaysDf.select(col("host"), lit(0L).as("ready_ts"), col("delay_ms"))
+      .coalesce(cfg.snapshotWriteFiles)
       .write.mode("overwrite").parquet(store.hostReadyPath(0))
     val nSeeds = lineage.sum
     store.commit(store.entryJson(0, -1,
@@ -184,7 +230,7 @@ final class CrawlEngine(
   private def loop(maxRounds: Int): CrawlSummary = {
     var round = store.lastCommitted().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
-    var hostReadyDf = spark.read.parquet(store.hostReadyPath(round))
+    var hostReadyDf = spark.read.schema(hostReadySchema).parquet(store.hostReadyPath(round))
     var seenPaths: Seq[String] = store.liveSeenPaths()
     // The compacted seen base lives as a BUCKETED (by url_hash, sorted)
     // external table: the exact anti-join's big side then scans
@@ -255,7 +301,7 @@ final class CrawlEngine(
           System.err.println(f"[trace] r$round $name ${(now - tLast) / 1e9}%6.2f s")
         tLast = now
       }
-      val frontier = spark.read.parquet(store.frontierPath(round))
+      val frontier = spark.read.schema(frontierSchema).parquet(store.frontierPath(round))
 
       // P4: robots filter — longest-prefix-match via a codegen'd
       // expression over the compiled rule index (no UDF in the hot
@@ -315,25 +361,25 @@ final class CrawlEngine(
         .drop("page_hash")
         .withColumn("status", coalesce(col("status"), lit("missing")))
         .withColumn("doc_id", coalesce(col("doc_id"), lit("")))
-        .withColumn("round", lit(round))
+        .withColumn("round", ref_int(round))
         .observe(fetchObs,
           sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok"),
           sum(when(col("status") === "404", 1L).otherwise(0L)).as("s404"),
           sum(when(col("status") === "missing", 1L).otherwise(0L)).as("missing"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       lap("fetchjoin-def")
-      // NO coalesce here: this write is the action that MATERIALIZES the
-      // fetched cache (scheduler + GlobalOrder + fetch join) — a coalesce
-      // above an unpopulated cache would run that whole chain at
-      // snapshotWriteFiles-way parallelism (review finding)
-      fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
-          "rn", "fetch_ts", "status", "doc_id")
-        .write.mode("overwrite").parquet(store.fetchLogPath(round))
+      // ONE materialization of the scheduler + GlobalOrder + fetch-join
+      // chain (populates the schedAll and fetched caches, fires every
+      // observation). All sinks below then scan the hot cache, so the
+      // fetch-log write, the host-ready advance and the link-extraction
+      // chain run CONCURRENTLY instead of serializing re-scans of the
+      // same subtree behind one write action (round-3 barrier cut).
+      fetched.count()
 
       // status metrics: ≤4 rows off the fetched cache. Denied/carried
       // come from count arithmetic (no per-host collects — round 1
       // pulled per-(host,status) counts to the driver every round).
-      lap("fetchlog-write")
+      lap("fetched-mat")
       def obsLong(o: org.apache.spark.sql.Observation, k: String): Long =
         Option(o.get(k)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
       val schedCount = obsLong(schedObs, "n")
@@ -345,12 +391,18 @@ final class CrawlEngine(
         "ok" -> obsLong(fetchObs, "ok"),
         "404" -> obsLong(fetchObs, "s404"),
         "missing" -> obsLong(fetchObs, "missing"))
-      lap("statuscounts")
       val schedAllCount = obsLong(schedAllObs, "n")
       val deniedCount = math.max(0L, frontierRows - schedAllCount)
       // rows beyond the per-host cap carry; rows beyond the total budget
       // are dropped ([PINNED] — matches the oracle's take())
       val carriedCount = schedAllCount - obsLong(withinObs, "n")
+      val fetchLogFut = scala.concurrent.Future {
+        fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
+            "rn", "fetch_ts", "status", "doc_id")
+          .coalesce(cfg.snapshotWriteFiles)
+          .write.mode("overwrite").parquet(store.fetchLogPath(round))
+      }(scala.concurrent.ExecutionContext.global)
+      lap("statuscounts")
 
       // host-ready advance: ready' = ready + fetched_this_round * delay —
       // a Dataset job over the fetched cache, written to the snapshot (no
@@ -362,13 +414,15 @@ final class CrawlEngine(
         val perHostAdd = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
           .join(broadcast(delaysDf), Seq("host"), "left")
           .select(col("host"),
-            (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"))
+            (col("cnt") * coalesce(col("delay_ms"), lit(cfg.defaultDelayMs))).as("v"),
+            col("delay_ms"))
         // snapshotWriteFiles-way, not coalesce(1): host-ready is O(#hosts)
         // rows — one task would be a GB-scale single-task write at the
         // 10^7–10^8-host scale (review finding)
-        hostReadyDf.select(col("host"), col("ready_ts").as("v"))
+        hostReadyDf.select(col("host"), col("ready_ts").as("v"), col("delay_ms"))
           .unionByName(perHostAdd)
-          .groupBy("host").agg(sum(col("v")).as("ready_ts"))
+          .groupBy("host").agg(sum(col("v")).as("ready_ts"),
+            max(col("delay_ms")).as("delay_ms"))
           .coalesce(cfg.snapshotWriteFiles)
           .write.mode("overwrite").parquet(store.hostReadyPath(next))
       }(scala.concurrent.ExecutionContext.global)
@@ -410,7 +464,8 @@ final class CrawlEngine(
       lap("candcount")
       val deltaPaths = seenPaths.filterNot(isBasePath)
       val seenParts =
-        (if (deltaPaths.nonEmpty) Seq(spark.read.parquet(deltaPaths: _*)) else Seq.empty) ++
+        (if (deltaPaths.nonEmpty)
+          Seq(spark.read.schema(seenSchema).parquet(deltaPaths: _*)) else Seq.empty) ++
           basePath.map(_ => spark.table(baseTableName)).toSeq
       val (newUrlsDf, probeCleanup, candCountThunk) =
         SeenSet.newUrls(spark, cand, seenParts, bloomReader)
@@ -420,7 +475,7 @@ final class CrawlEngine(
       lap("newurls-def")
       // likewise uncoalesced: materializes the extraction + probe chain
       val delta = newUrls
-        .select(col("url_hash"), col("url_canon"), lit(next).as("first_round"))
+        .select(col("url_hash"), col("url_canon"), ref_int(next).as("first_round"))
       delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
       // exact count off the hot probe-stage cache when blooms are on —
       // the candObs Observation stays only as the no-bloom fallback (its
@@ -436,15 +491,15 @@ final class CrawlEngine(
           .coalesce(cfg.snapshotWriteFiles)
           .write.mode("overwrite").parquet(store.frontierPath(next))
       }(scala.concurrent.ExecutionContext.global)
-      val deltaBack = spark.read.parquet(store.seenDeltaPath(next))
       // per-partition lineage comes for free from the executor-side
-      // bloom-shard build (same pmod(url_hash, P) sharding)
+      // bloom-shard build (same pmod(url_hash, P) sharding); input is the
+      // hot newUrls cache — round 2 re-read the just-written delta parquet
       val (bloomPaths, lineage) = bloomReader match {
         case Some(rd) =>
-          SeenSet.buildShards(spark, deltaBack.select("url_hash"), Some(rd),
+          SeenSet.buildShards(spark, newUrls.select("url_hash"), Some(rd),
             store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp,
             cfg.seenFilter)
-        case None => (Array.empty[String], bucketCounts(deltaBack))
+        case None => (Array.empty[String], bucketCounts(newUrls))
       }
       lap("shard-build")
       if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths, store.confSer))
@@ -464,7 +519,7 @@ final class CrawlEngine(
         spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
         // repartition on url_hash matches the bucket hash → one file per
         // bucket, so the bucketed scan is both exchange- and sort-free
-        spark.read.parquet(seenPaths: _*)
+        spark.read.schema(seenSchema).parquet(seenPaths: _*)
           .repartition(cfg.partitions, col("url_hash"))
           .write.format("parquet")
           .bucketBy(cfg.partitions, "url_hash").sortBy("url_hash")
@@ -480,7 +535,9 @@ final class CrawlEngine(
       scala.concurrent.Await.result(frontierFut, scala.concurrent.duration.Duration.Inf)
       lap("frontier-write")
       scala.concurrent.Await.result(hostReadyFut, scala.concurrent.duration.Duration.Inf)
-      hostReadyDf = spark.read.parquet(store.hostReadyPath(next))
+      scala.concurrent.Await.result(fetchLogFut, scala.concurrent.duration.Duration.Inf)
+      lap("fetchlog-join")
+      hostReadyDf = spark.read.schema(hostReadySchema).parquet(store.hostReadyPath(next))
       lap("hostready-write")
       fetchedSoFar += schedCount
       frontierRows = carriedCount + newCount
@@ -511,16 +568,16 @@ final class CrawlEngine(
     CrawlSummary(round, fetchedSoFar, seen().count(), snapshotRoot)
   }
 
-  /** hostMeta = delays ⟗ ready, both small Datasets (broadcast by the
-    * scheduler); defaults applied at use site. */
+  /** hostMeta comes straight from the host-ready snapshot (which carries
+    * delay_ms since round 3); defaults applied at use site. */
   private def hostMetaDf(readyDf: DataFrame): DataFrame =
-    delaysDf.join(readyDf, Seq("host"), "full_outer")
-      .select(col("host"), col("delay_ms"), col("ready_ts"))
+    readyDf.select(col("host"), col("delay_ms"), col("ready_ts"))
 
   /** Sandbox-scale fast path for the typed-heap scheduler only (Q1 needs
     * in-memory maps); the window/salted schedulers never collect this. */
   private def collectHostReady(readyDf: DataFrame): Map[String, Long] =
-    readyDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    readyDf.select("host", "ready_ts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 }
 
 final case class CrawlSummary(rounds: Int, totalFetched: Long, totalSeen: Long, snapshotRoot: String)

@@ -89,6 +89,9 @@ final class SnapshotStore(val root: String,
     * spark-warehouse dir). */
   def qualified(path: String): String = fs.makeQualified(new Path(path)).toString
 
+  /** Create an empty marker file (e.g. a _DONE flag). */
+  def touch(path: String): Unit = fs.create(new Path(path), true).close()
+
   def wipe(): Unit = deleteDir(root)
 
   def deleteDir(path: String): Unit = {

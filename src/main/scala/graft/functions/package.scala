@@ -39,6 +39,12 @@ package object functions {
   def url_salt(canonicalUrl: Column, k: Int): Column =
     pmod(xxhash64(canonicalUrl), lit(k.toLong))
 
+  /** Round-varying constants with round-stable generated code (see
+    * [[RefLongLiteral]] — keeps the crawl loop's whole-stage codegen on
+    * the janino compilation cache instead of recompiling per round). */
+  def ref_long(v: Long): Column = Shim.col(RefLongLiteral(v))
+  def ref_int(v: Int): Column = Shim.col(RefIntLiteral(v))
+
   // ---- codegen vector kernels (array<double>) — see VectorExpressions --
 
   def vec_dot(a: Column, b: Column): Column =

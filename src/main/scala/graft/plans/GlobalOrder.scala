@@ -48,7 +48,9 @@ object GlobalOrder {
       .withColumn("__offset", coalesce(sum("count").over(w), lit(0L)))
       .select(col("__pid"), col("__offset"))
     ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(seqCol, col("__idx") + col("__offset") + lit(offset) + 1L)
+      // ref_long, not lit: `offset` changes every crawl round and a plain
+      // literal would defeat the whole-stage codegen cache (see RefLiteral)
+      .withColumn(seqCol, col("__idx") + col("__offset") + graft.functions.ref_long(offset) + 1L)
       .drop("__pid", "__mid", "__idx", "__offset")
   }
 }

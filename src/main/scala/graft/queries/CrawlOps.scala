@@ -24,12 +24,15 @@ object CrawlOps {
   private def fx(s: SparkSession, dir: String): String = CorpusGen.ensureFor(s, dir)
 
   /** Flagship-crawl config: the per-host round budget is sized so the
-    * Zipf-hot head host (≈20% of all pages) drains in a handful of
-    * rounds — a tiny budget turns the batch model into
-    * hot-host-pages / budget rounds of fixed scheduling overhead.
-    * Politeness (virtual fetch_ts spacing) is unaffected by the budget. */
+    * Zipf-hot head host (≈20% of all pages) drains within the BFS
+    * depth's natural round count — a tiny budget turns the batch model
+    * into hot-host-pages / budget rounds of fixed scheduling overhead
+    * (round 3 raised docs/20 → docs/6: two fewer rounds at sf0.1, each
+    * ~5 s of fixed per-round cost; the crawl-result change is mirrored
+    * by the golden oracle, which runs the same config). Politeness
+    * (virtual fetch_ts spacing) is unaffected by the budget. */
   def crawlConfigFor(partitions: Int, tier: CorpusGen.Tier): CrawlConfig = {
-    val perHost = math.max(2500, tier.docs / 20) // hot Zipf head drains in ~4 rounds
+    val perHost = math.max(2500, tier.docs / 6)
     val p = sys.env.get("GRAFT_CRAWL_PARTITIONS").map(_.toInt).getOrElse(partitions)
     CrawlConfig(maxDepth = 10, perHostPerRound = perHost, partitions = p,
       bloomShardCapacity = math.max(100000L, tier.docs.toLong))
