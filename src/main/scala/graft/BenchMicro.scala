@@ -32,8 +32,32 @@ object BenchMicro {
         concat(lit("https://host7.example/x/p"), $"id", lit("?q=1")))).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
     val secFast = (System.nanoTime() - t1) / 1e9
+    // third kernel: RELATIVE references against a canonical base →
+    // exercises the round-3 single-allocation byte-merge resolve
+    // (fastResolveAscii), the other half of extracted crawl links
+    val t2 = System.nanoTime()
+    val outRel = spark.range(0, n, 1, cpus * 4)
+      .select(xxhash64(graft.functions.canonicalize_url(
+        concat(lit("/rel/p"), $"id", lit("?q=1")),
+        lit("https://host7.example/base/dir?x=0"))).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
+    val secRel = (System.nanoTime() - t2) / 1e9
+    // mixed kernel: the crawl's realistic link mix — half already-
+    // canonical absolute (byte-scan pass-through), half plain relative
+    // (byte-merge resolve); the round-3 scaling target (≥0.75 raw 2→8)
+    val t3 = System.nanoTime()
+    val outMix = spark.range(0, n, 1, cpus * 4)
+      .select(xxhash64(graft.functions.canonicalize_url(
+        when(pmod($"id", lit(2)) === 0,
+          concat(lit("https://host7.example/x/p"), $"id", lit("?q=1")))
+          .otherwise(concat(lit("/rel/p"), $"id", lit("?q=1"))),
+        lit("https://host7.example/base/dir?x=0"))).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
+    val secMix = (System.nanoTime() - t3) / 1e9
     println(s"""{"cpus":$cpus,"n":$n,"sec":$sec,"urls_per_sec":${n / sec},"checksum":$out,""" +
-      s""""fastpath_sec":$secFast,"fastpath_urls_per_sec":${n / secFast},"checksum_fast":$outFast}""")
+      s""""fastpath_sec":$secFast,"fastpath_urls_per_sec":${n / secFast},"checksum_fast":$outFast,""" +
+      s""""relpath_sec":$secRel,"relpath_urls_per_sec":${n / secRel},"checksum_rel":$outRel,""" +
+      s""""mixed_sec":$secMix,"mixed_urls_per_sec":${n / secMix},"checksum_mixed":$outMix}""")
     spark.stop()
   }
 }

@@ -22,8 +22,80 @@ object GraftRT {
     // ceiling on multi-core scaling, BENCH/BASELINE.md). The byte scan is
     // conservative: any feature needing normalization falls through.
     if (isCanonicalAscii(url)) return url
+    if (base != null) {
+      // single-allocation fast path for the OTHER half of extracted
+      // links (round 3): a plain relative reference against a provably
+      // canonical base resolves by byte concatenation — RFC 3986 §5.2.2
+      // collapses to prefix(base) + ref when the ref needs no percent,
+      // case, or dot-segment normalization. Property-tested equal to
+      // the full canonicalizer whenever it applies.
+      val fast = fastResolveAscii(url, base)
+      if (fast != null) return fast
+    }
     val r = UrlCanon.canonicalize(url.toString, if (base == null) null else base.toString)
     if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** Byte-level resolve of a relative reference against a canonical
+    * base; null = not eligible (caller falls back to the full parser).
+    *
+    * Eligible refs are printable ASCII with no '%', '#' or ':' (a ':'
+    * could start a scheme or an odd authority form), not
+    * protocol-relative ("//…"), with no "." / ".." segments, not ending
+    * in a bare '?' (which canonicalize strips), and — for
+    * path-relative refs — not starting with '.': for those,
+    * canonicalize(ref, base) is exactly
+    *   base.take(prefixEnd) ++ ref
+    * where prefixEnd is the end of the base's authority (ref starts
+    * with '/') or one past the last '/' of the base's path (§5.2.3
+    * merge). The base must itself pass [[isCanonicalAscii]], which
+    * guarantees scheme/host/port are already normal and its path has
+    * no dot segments. */
+  def fastResolveAscii(ref: UTF8String, base: UTF8String): UTF8String = {
+    val n = ref.numBytes()
+    if (n == 0 || !isCanonicalAscii(base)) return null
+    def b(j: Int): Int = ref.getByte(j) & 0xFF
+    var i = 0
+    var inQuery = false
+    while (i < n) {
+      val c = b(i)
+      if (c < 0x21 || c > 0x7E || c == '%' || c == '#') return null
+      if (!inQuery) {
+        if (c == '?') inQuery = true
+        else if (c == ':') return null
+        else if (c == '/' && i + 1 < n && b(i + 1) == '.') {
+          // "/." or "/.." segment → needs remove_dot_segments
+          val j = i + 2
+          if (j >= n || b(j) == '/' || b(j) == '?') return null
+          if (b(j) == '.' && (j + 1 >= n || b(j + 1) == '/' || b(j + 1) == '?')) return null
+        }
+      }
+      i += 1
+    }
+    if (b(n - 1) == '?') return null // canonicalize drops a bare trailing '?'
+    val absolute = b(0) == '/'
+    if (absolute && n >= 2 && b(1) == '/') return null // protocol-relative: authority swap
+    if (!absolute && b(0) == '.') return null // "."/".."/"./…"/"../…" lead segments
+    // base prefix: end of authority (first '/' — isCanonicalAscii
+    // guarantees one), or one past the last path '/' for relative refs
+    val bn = base.numBytes()
+    def bb(j: Int): Int = base.getByte(j) & 0xFF
+    var p = if (bb(4) == ':') 7 else 8 // http:// vs https://
+    while (p < bn && bb(p) != '/') p += 1
+    val prefixEnd =
+      if (absolute) p
+      else {
+        var q = p
+        var last = p
+        while (q < bn && bb(q) != '?') { if (bb(q) == '/') last = q; q += 1 }
+        last + 1
+      }
+    val out = new Array[Byte](prefixEnd + n)
+    org.apache.spark.unsafe.Platform.copyMemory(base.getBaseObject, base.getBaseOffset,
+      out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, prefixEnd)
+    org.apache.spark.unsafe.Platform.copyMemory(ref.getBaseObject, ref.getBaseOffset,
+      out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + prefixEnd, n)
+    UTF8String.fromBytes(out)
   }
 
   /** True only when `canonicalize(u, *) == u` is guaranteed: lowercase

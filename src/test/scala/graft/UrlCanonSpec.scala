@@ -172,6 +172,39 @@ class UrlCanonSpec extends AnyFunSuite {
       s"fast path too conservative: $accepted/${canonicals.size}")
   }
 
+  // the single-allocation relative-resolve fast path must agree with the
+  // full canonicalizer on EVERY input it accepts, across eligible and
+  // ineligible shapes; and it must actually fire on corpus-shaped links
+  test("fastResolveAscii is sound vs canonicalize (and useful)") {
+    import graft.functions.GraftRT
+    import org.apache.spark.unsafe.types.UTF8String
+    def fast(ref: String, base: String): Option[String] =
+      Option(GraftRT.fastResolveAscii(UTF8String.fromString(ref), UTF8String.fromString(base)))
+        .map(_.toString)
+    val bases = Seq(
+      "http://a.example/", "https://b.example:8080/dir/page?q=1",
+      "http://c.example/a/b/c", "http://d.example/x?", // last not canonical-ascii
+      "HTTP://E.example/x", "http://f.example/a%20b/c")
+    val refs = Seq(
+      "/p1", "/p1?x=1", "/a/b/c", "p1", "sub/p2", "p?x", "/p?a=1&b=2",
+      "//other.example/p", "/p#frag", "/p%7e", "/./x", "/../x", "../up",
+      "./here", ".", "..", "x/./y", "x/../y", "/x/.", "/x/..", "/x/y/.",
+      "a:b", "/a:b", "/p?", "p?", "", "/ p", "/p\ttab", "/p?q?r", "/p??",
+      "/@at", "/[br]", "/p;x=1", "/p,q", "https://abs.example/q", "/p1/p2/p3?a=b&c=d")
+    for (b <- bases; r <- refs) {
+      fast(r, b).foreach { got =>
+        val want = UrlCanon.canonicalize(r, b)
+        assert(want == got, s"fastResolve mismatch: ref=$r base=$b got=$got want=$want")
+      }
+    }
+    // effectiveness: plain absolute-path and relative links against
+    // canonical bases must take the fast path
+    val hits = Seq(
+      ("/page/123", "http://a.example/"), ("img/photo.jpg", "http://a.example/dir/index"),
+      ("/p?a=1", "https://b.example:8080/x")).count { case (r, b) => fast(r, b).isDefined }
+    assert(hits == 3, s"fast resolve too conservative: $hits/3")
+  }
+
   test("extraction grammar: absolute, href, relative, trailing punctuation, order") {
     val text =
       """intro https://a.example/p1. then <a href="https://b.example/p2">x</a> """ +
