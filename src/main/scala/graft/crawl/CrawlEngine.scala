@@ -150,6 +150,26 @@ final class CrawlEngine(
     keep(CorpusGen.robots(spark, fixtureDir)
       .select("host", "allow", "path_prefix"))
 
+  /** Catalog name of the bucketed seen base (per snapshot root). */
+  private val baseTableName =
+    s"graft_seen_${java.lang.Integer.toHexString(snapshotRoot.hashCode)}"
+
+  /** (Re)write the bucketed+sorted seen base for `round` from `df` and
+    * register it as the base table. Returns the qualified base path. */
+  private def writeSeenBase(round: Int, df: DataFrame): String = {
+    val bp = store.qualified(store.seenBasePath(round))
+    store.deleteDir(bp)
+    spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
+    // repartition on url_hash matches the bucket hash → one file per
+    // bucket, so the bucketed scan is both exchange- and sort-free
+    df.repartition(cfg.partitions, col("url_hash"))
+      .write.format("parquet")
+      .bucketBy(cfg.partitions, "url_hash").sortBy("url_hash")
+      .option("path", bp)
+      .saveAsTable(baseTableName)
+    bp
+  }
+
   // ---- public API ------------------------------------------------------
 
   /** Fresh crawl from the seed list; wipes any previous snapshots. */
@@ -161,6 +181,58 @@ final class CrawlEngine(
 
   /** Resume from the last committed snapshot (BASELINE.json:14). */
   def resume(maxRounds: Int = Int.MaxValue): CrawlSummary = loop(maxRounds)
+
+  /** Retire a host from the crawl state (robots revocation, takedown):
+    * drop its URLs from the exact seen set and the live frontier, and —
+    * on the cuckoo path — DELETE its hashes from the seen shards
+    * in place (the capability blooms lack; with `seenFilter=bloom` the
+    * shards are rebuilt from the surviving hashes instead). Commits a
+    * new snapshot round with no fetch log; the crawl stays resumable
+    * and a later re-discovery of the host's URLs would re-crawl them.
+    * Returns the number of retired URLs. */
+  def retireHost(host: String): Long = {
+    val round = store.lastCommitted().getOrElse(
+      throw new IllegalStateException("no committed snapshot to retire from"))
+    val next = round + 1
+    val seenDf = seen()
+    val retired = seenDf.filter(graft.functions.host_of(col("url_canon")) === host)
+      .select("url_hash").persist(StorageLevel.MEMORY_AND_DISK)
+    val retiredCount = retired.count()
+    val keep = seenDf.filter(graft.functions.host_of(col("url_canon")) =!= host)
+    val bp = writeSeenBase(next, keep)
+    spark.read.schema(frontierSchema).parquet(store.frontierPath(round))
+      .filter(col("host") =!= host)
+      .coalesce(cfg.snapshotWriteFiles)
+      .write.mode("overwrite").parquet(store.frontierPath(next))
+    val frontierRows =
+      spark.read.schema(frontierSchema).parquet(store.frontierPath(next)).count()
+    spark.read.schema(hostReadySchema).parquet(store.hostReadyPath(round))
+      .filter(col("host") =!= host)
+      .coalesce(cfg.snapshotWriteFiles)
+      .write.mode("overwrite").parquet(store.hostReadyPath(next))
+    val bloomPaths: Array[String] =
+      if (!cfg.useBloom) Array.empty
+      else {
+        val reader = new BloomShardReader(store.liveBloomPaths(), store.confSer)
+        if (cfg.seenFilter == "cuckoo")
+          SeenSet.retireFromShards(spark, retired, reader, store.bloomsDir(next),
+            cfg.partitions)
+        else
+          SeenSet.buildShards(spark, spark.table(baseTableName).select("url_hash"),
+            None, store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity,
+            cfg.bloomFpp, cfg.seenFilter)._1
+      }
+    retired.unpersist(false)
+    val fetchedTotal = store.readManifest().lastOption
+      .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
+        .get("fetched_total").asInstanceOf[Number].doubleValue()).getOrElse(0.0)
+    store.commit(store.entryJson(next, round,
+      Map("frontier" -> frontierRows, "seen_delta" -> 0L, "fetchlog" -> 0L),
+      Seq.fill(cfg.partitions)(0L),
+      Map("fetched_total" -> fetchedTotal, "retired" -> retiredCount.toDouble),
+      Seq(bp), bloomPaths.toSeq, cfg.partitions))
+    retiredCount
+  }
 
   /** Full crawl order: the fetch log of all committed rounds, in global
     * (round, fetch_ts, host, url_hash) order == seq order. */
@@ -237,7 +309,6 @@ final class CrawlEngine(
     // bucket-aligned with NO exchange and NO sort every round — the
     // cross-round shuffle reuse SURVEY §4 promises. Deltas since the
     // last compaction stay plain parquet (small → broadcast anti-joins).
-    val baseTableName = s"graft_seen_${java.lang.Integer.toHexString(snapshotRoot.hashCode)}"
     def isBasePath(p: String): Boolean = p.contains("/seen_base")
     var basePath: Option[String] = seenPaths.find(isBasePath)
     // Re-register the base table from the MANIFEST's path unconditionally
@@ -511,20 +582,8 @@ final class CrawlEngine(
       lap("reader-upd")
       seenPaths = seenPaths :+ store.seenDeltaPath(next)
       if (seenPaths.size >= cfg.seenCompactEvery) {
-        // absolute path: a relative LOCATION would resolve under the
-        // spark-warehouse dir; clear any partial dir from a crashed run
-        // (commits are atomic — an uncommitted base is garbage)
-        val bp = store.qualified(store.seenBasePath(next))
-        store.deleteDir(bp)
-        spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
-        // repartition on url_hash matches the bucket hash → one file per
-        // bucket, so the bucketed scan is both exchange- and sort-free
-        spark.read.schema(seenSchema).parquet(seenPaths: _*)
-          .repartition(cfg.partitions, col("url_hash"))
-          .write.format("parquet")
-          .bucketBy(cfg.partitions, "url_hash").sortBy("url_hash")
-          .option("path", bp)
-          .saveAsTable(baseTableName)
+        val bp = writeSeenBase(next,
+          spark.read.schema(seenSchema).parquet(seenPaths: _*))
         seenPaths = Seq(bp)
         basePath = Some(bp)
       }

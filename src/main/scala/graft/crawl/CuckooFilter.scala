@@ -52,13 +52,21 @@ final class CuckooFilter private (
   }
 
   /** Insert; false when the filter is saturated (caller should resize —
-    * the engine sizes shards up front like the bloom capacity). */
+    * the engine sizes shards up front like the bloom capacity).
+    *
+    * Deliberately stores a copy per call, even when an equal fingerprint
+    * already sits in the bucket pair: deletion support REQUIRES
+    * duplicates (Fan et al. §3.2) — round 2 deduped on insert, so two
+    * distinct keys aliasing to the same bucket-pair+fingerprint shared
+    * one copy and removing one key silently removed the other (a false
+    * negative, the one thing the J1 prefilter must never produce).
+    * Callers insert each url_hash once (deltas are exact-deduped), so
+    * duplicate copies arise only from genuine aliasing collisions and
+    * stay bounded. */
   def put(key: Long): Boolean = {
     val fp0 = fingerprint(key)
     val b1 = bucketOf(key)
     val b2 = altBucket(b1, fp0)
-    // idempotent adds keep one copy (URL-seen semantics)
-    if (bucketContains(b1, fp0) || bucketContains(b2, fp0)) return true
     if (tryInsert(b1, fp0) || tryInsert(b2, fp0)) return true
     // displace: bounded random-walk eviction
     var b = if ((mix(key, 0x27D4EB2F165667C5L) & 1L) == 0L) b1 else b2

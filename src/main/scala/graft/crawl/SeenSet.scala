@@ -196,6 +196,51 @@ object SeenSet {
     (paths, (0 until P).map(i => byPid.getOrElse(i, 0L)))
   }
 
+  /** DELETE `hashes` from their matching shard files (executor-side,
+    * mirror of [[buildShards]]) — the cuckoo deletion path (engine
+    * retireHost). Bloom shards cannot delete; callers rebuild those from
+    * the surviving hashes instead. Each touched shard writes a new
+    * immutable uuid-named version; untouched shards keep their current
+    * file. A saturated cuckoo shard ignores removes (it already
+    * degraded to always-maybe — conservative, never a false negative). */
+  def retireFromShards(spark: SparkSession, hashes: DataFrame, prev: BloomShardReader,
+                       outDir: String, P: Int): Array[String] = {
+    import spark.implicits._
+    val confSer = new HadoopConfSer(spark.sparkContext.hadoopConfiguration)
+    new HPath(outDir).getFileSystem(confSer.value).mkdirs(new HPath(outDir))
+    val bcConf = spark.sparkContext.broadcast(confSer)
+    val prevPaths = prev.paths
+    require(prevPaths.length == P, s"shard count changed: ${prevPaths.length} != $P")
+    val bcPrev = spark.sparkContext.broadcast(prevPaths)
+    val updated = hashes.select(col("url_hash")).as[Long]
+      .groupByKey(h => (((h % P) + P) % P).toInt)
+      .mapGroups { (pid, it) =>
+        val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
+        val prevPath = bcPrev.value(pid)
+        if (prevPath == null) (pid, null.asInstanceOf[String]) // never written: nothing to delete
+        else {
+          val in = new java.io.DataInputStream(
+            new BufferedInputStream(fs.open(new HPath(prevPath))))
+          val bf = try ShardFilter.readFrom(in) finally in.close()
+          bf match {
+            case c: CuckooShardFilter => it.foreach(c.remove)
+            case _ => it.foreach(_ => ()) // bloom: keep as-is (caller rebuilds)
+          }
+          val name = s"shard-$pid.${UUID.randomUUID()}.bin"
+          val tmp = new HPath(s"$outDir/.$name.tmp")
+          val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
+          try bf.writeTo(out) finally out.close()
+          require(fs.rename(tmp, new HPath(s"$outDir/$name")),
+            s"shard rename failed: $tmp -> $outDir/$name")
+          (pid, s"$outDir/$name")
+        }
+      }
+      .collect()
+    val paths = prevPaths.clone()
+    updated.foreach { case (pid, path) => if (path != null) paths(pid) = path }
+    paths
+  }
+
   /** J1 two-phase dedup: rows of `cand` whose url_hash is NOT in the seen
     * set. Bloom-negative rows bypass the join (no false negatives);
     * bloom-positive rows are exactly anti-joined against every frame in

@@ -170,6 +170,47 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectLog(eCuckoo) == collectLog(engine))
   }
 
+  test("retireHost deletes a host's URLs from seen + frontier + cuckoo shards") {
+    import graft.crawl.BloomShardReader
+    val e = new CrawlEngine(spark, fixtureDir, snapDir("retire"),
+      cfg.copy(seenFilter = "cuckoo"))
+    e.runFresh()
+    val before = collectSeen(e)
+    val host = graft.urls.UrlCanon.hostOf(before.values.head._1)
+    val expectRetired = before.filter { case (_, (u, _)) => graft.urls.UrlCanon.hostOf(u) == host }
+    assert(expectRetired.nonEmpty)
+    val n = e.retireHost(host)
+    assert(n == expectRetired.size, s"retired $n, expected ${expectRetired.size}")
+    // exact seen set: host gone, everything else intact (incl. first_round)
+    val after = collectSeen(e)
+    assert(after == before -- expectRetired.keys)
+    // shards: still no false negatives for kept keys; retired keys mostly
+    // probe negative (cuckoo deletes really happened — a few aliased
+    // fingerprints may remain maybe-positive)
+    val reader = new BloomShardReader(e.store.liveBloomPaths(), e.store.confSer)
+    after.keys.foreach(h => assert(reader.mightContain(h), "false negative after retire"))
+    val still = expectRetired.keys.count(reader.mightContain)
+    assert(still <= math.max(1, expectRetired.size / 10),
+      s"cuckoo deletion ineffective: $still/${expectRetired.size} still maybe-present")
+    // the crawl state stays consistent: fetch log still reads, resume is a no-op
+    assert(e.fetchLog().count() == collectLog(engine).size)
+    val summary = e.resume()
+    assert(summary.totalSeen == after.size)
+  }
+
+  test("retireHost with bloom shards rebuilds them from the surviving set") {
+    val e = new CrawlEngine(spark, fixtureDir, snapDir("retire-bloom"), cfg)
+    e.runFresh()
+    val before = collectSeen(e)
+    val host = graft.urls.UrlCanon.hostOf(before.values.head._1)
+    val n = e.retireHost(host)
+    assert(n > 0)
+    val after = collectSeen(e)
+    assert(after == before.filter { case (_, (u, _)) => graft.urls.UrlCanon.hostOf(u) != host })
+    val reader = new graft.crawl.BloomShardReader(e.store.liveBloomPaths(), e.store.confSer)
+    after.keys.foreach(h => assert(reader.mightContain(h), "false negative after rebuild"))
+  }
+
   test("budget truncation matches the oracle (discovered-but-unfetched still seen)") {
     val bcfg = cfg.copy(totalBudget = 100L)
     val eB = new CrawlEngine(spark, fixtureDir, snapDir("budget"), bcfg)

@@ -55,12 +55,42 @@ class SketchSpec extends SparkTestBase {
     val probes = (0 until n).map(i => UrlHash.hash64(s"https://absent$i.example/x$i"))
     val fp = probes.count(cf.mightContain)
     assert(fp.toDouble / n < 0.02, s"FPP too high: $fp/$n")
-    // deletion — the capability blooms lack
+    // deletion — the capability blooms lack. Since the round-3 fix,
+    // put() stores one copy PER INSERTED KEY (no dedup), so this holds
+    // deterministically even for distinct keys aliasing to the same
+    // bucket-pair + fingerprint (pre-fix it was probabilistically flaky:
+    // an aliased pair shared one copy — review finding).
     val removed = keys.take(1000)
     removed.foreach(k => assert(cf.remove(k)))
     val still = removed.count(cf.mightContain)
     assert(still.toDouble / removed.size < 0.02, s"removed keys still maybe-present: $still")
     keys.drop(1000).foreach(k => assert(cf.mightContain(k), "delete must not evict other keys"))
+  }
+
+  test("CuckooFilter: removing an ALIASED key keeps its partner (no false negative)") {
+    // find a key that aliases an already-inserted one through the
+    // filter's own observable behavior: mightContain(x) before x was
+    // ever inserted means a copy of x's fingerprint already sits in x's
+    // bucket pair — exactly the aliasing the round-3 put() fix is for
+    // (pre-fix, put(x) would dedup against the partner's copy and
+    // remove(x) would then delete the PARTNER's only copy).
+    val cf = CuckooFilter.create(40000)
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var aliased: Option[Long] = None
+    var i = 0
+    while (aliased.isEmpty && i < 40000) {
+      val k = UrlHash.hash64(s"https://alias$i.example/")
+      if (cf.mightContain(k)) aliased = Some(k)
+      else { assert(cf.put(k)); inserted += k }
+      i += 1
+    }
+    assert(aliased.isDefined, "no aliased key found in 40k candidates")
+    val x = aliased.get
+    assert(cf.put(x)) // stores x's own copy next to the partner's
+    assert(cf.remove(x))
+    inserted.foreach(k =>
+      assert(cf.mightContain(k),
+        "deleting an aliased key must not create a false negative for another key"))
   }
 
   test("CuckooShardFilter saturates conservatively (never a false negative)") {
