@@ -53,8 +53,17 @@ object GraftRT {
     * no dot segments. */
   def fastResolveAscii(ref: UTF8String, base: UTF8String): UTF8String = {
     val n = ref.numBytes()
-    if (n == 0 || !isCanonicalAscii(base)) return null
+    if (n == 0) return null
     def b(j: Int): Int = ref.getByte(j) & 0xFF
+    // leading-byte disqualifiers FIRST: most ineligible refs (lead
+    // "."/".." segments, protocol-relative, scheme'd absolutes — which
+    // hit the ':' check within a few bytes) bail before paying either
+    // the full ref scan or the base validation. Link mixes are mostly
+    // ineligible renderings, so this ordering is what keeps the fast
+    // path a net win on real corpora, not just on eligible-only input.
+    val absolute = b(0) == '/'
+    if (absolute && n >= 2 && b(1) == '/') return null // protocol-relative: authority swap
+    if (!absolute && b(0) == '.') return null // "."/".."/"./…"/"../…" lead segments
     var i = 0
     var inQuery = false
     while (i < n) {
@@ -73,9 +82,7 @@ object GraftRT {
       i += 1
     }
     if (b(n - 1) == '?') return null // canonicalize drops a bare trailing '?'
-    val absolute = b(0) == '/'
-    if (absolute && n >= 2 && b(1) == '/') return null // protocol-relative: authority swap
-    if (!absolute && b(0) == '.') return null // "."/".."/"./…"/"../…" lead segments
+    if (!isCanonicalAscii(base)) return null // base must be provably canonical
     // base prefix: end of authority (first '/' — isCanonicalAscii
     // guarantees one), or one past the last path '/' for relative refs
     val bn = base.numBytes()
@@ -153,11 +160,123 @@ object GraftRT {
     if (canonical == null) null
     else UTF8String.fromString(UrlCanon.pathOf(canonical.toString))
 
+  /** Byte-level link extraction, equivalent by construction (and by
+    * property test) to [[graft.urls.UrlExtract.extract]] — the PINNED
+    * grammar's reference implementation, which stays as the sequential
+    * oracle. This path skips the UTF8String→String decode, the two
+    * regex matchers, and the per-link String→UTF8String re-encode that
+    * dominated the steady-state link-extraction stage (extract_urls
+    * runs once per exploded text span — the hottest kernel after
+    * canonicalize). Two phases mirror the two matchers exactly:
+    * ascending non-overlapping `href="…"` value ranges first (resume
+    * after the closing quote; a missing close quote ends the phase —
+    * no quote pair can follow), then ascending non-overlapping
+    * `\bhttps?://[^\s"'<>]+` runs (ASCII word-boundary before the
+    * 'h'; resume at match end), suppressed when they START inside an
+    * href value (two-pointer — both lists ascend), merged by start
+    * offset with href first on ties (the oracle's stable sort), each
+    * with trailing `[.,;)]` stripped and empties dropped. ASCII
+    * delimiters cannot occur inside UTF-8 continuation bytes, so byte
+    * ranges equal the oracle's char ranges verbatim. */
   def extractUTF8(text: UTF8String): ArrayData = {
-    val links = UrlExtract.extract(if (text == null) null else text.toString)
-    val out = new Array[Any](links.length)
+    val n = text.numBytes()
+    if (n < 7) return EMPTY_ARRAY // shortest link: http:// + 1 char
+    def b(j: Int): Int = text.getByte(j) & 0xFF
+    def isWordByte(c: Int): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+    // Java's \b word predicate without UNICODE_CHARACTER_CLASS is
+    // `ch == '_' || Character.isLetterOrDigit(ch)` on the CODE POINT
+    // (Pattern.Bound) — Unicode letters before the 'h' kill the
+    // boundary, so a non-ASCII predecessor must be decoded, not treated
+    // as a boundary byte (caught by the property test: "préhttps://…").
+    def isWordBefore(idx: Int): Boolean = {
+      val c = b(idx - 1)
+      if (c < 0x80) isWordByte(c)
+      else {
+        var s = idx - 1
+        while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
+        val lead = b(s)
+        val len = idx - s
+        val cp =
+          if (lead >= 0xC0 && lead < 0xE0 && len == 2)
+            ((lead & 0x1F) << 6) | (b(s + 1) & 0x3F)
+          else if (lead >= 0xE0 && lead < 0xF0 && len == 3)
+            ((lead & 0x0F) << 12) | ((b(s + 1) & 0x3F) << 6) | (b(s + 2) & 0x3F)
+          else if (lead >= 0xF0 && lead < 0xF8 && len == 4)
+            ((lead & 0x07) << 18) | ((b(s + 1) & 0x3F) << 12) |
+              ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
+          else -1 // malformed: the regex would see U+FFFD (not a word char)
+        cp >= 0 && Character.isLetterOrDigit(cp)
+      }
+    }
+    def isAbsStop(c: Int): Boolean = // Java \s (ASCII) plus "'<>
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r' ||
+        c == '"' || c == '\'' || c == '<' || c == '>'
+    // phase 1: href value ranges
+    var hs = EMPTY_INT; var he = EMPTY_INT; var nh = 0
     var i = 0
-    while (i < links.length) { out(i) = UTF8String.fromString(links(i)); i += 1 }
-    new GenericArrayData(out)
+    while (i + 7 <= n) { // href=" + closing quote
+      if ((b(i) | 0x20) == 'h' && (b(i + 1) | 0x20) == 'r' && (b(i + 2) | 0x20) == 'e' &&
+        (b(i + 3) | 0x20) == 'f' && b(i + 4) == '=' && b(i + 5) == '"') {
+        var j = i + 6
+        while (j < n && b(j) != '"') j += 1
+        if (j >= n) i = n // unterminated: no quote pair can follow
+        else {
+          if (nh == hs.length) { hs = grow(hs); he = grow(he) }
+          hs(nh) = i + 6; he(nh) = j; nh += 1
+          i = j + 1
+        }
+      } else i += 1
+    }
+    // phase 2: absolute URLs
+    var as = EMPTY_INT; var ae = EMPTY_INT; var na = 0
+    i = 0
+    while (i + 7 <= n) {
+      if ((b(i) | 0x20) == 'h' && (i == 0 || !isWordBefore(i)) &&
+        (b(i + 1) | 0x20) == 't' && (b(i + 2) | 0x20) == 't' && (b(i + 3) | 0x20) == 'p') {
+        var j = i + 4
+        if (j < n && (b(j) | 0x20) == 's') j += 1
+        if (j + 3 < n && b(j) == ':' && b(j + 1) == '/' && b(j + 2) == '/' &&
+          !isAbsStop(b(j + 3))) { // [^…]+ needs ≥1 byte
+          var e = j + 4
+          while (e < n && !isAbsStop(b(e))) e += 1
+          if (na == as.length) { as = grow(as); ae = grow(ae) }
+          as(na) = i; ae(na) = e; na += 1
+          i = e
+        } else i += 1
+      } else i += 1
+    }
+    if (nh == 0 && na == 0) return EMPTY_ARRAY
+    // merge by start (href first on ties), suppress abs inside hrefs,
+    // strip trailing punctuation, drop empties
+    val res = new Array[Any](nh + na)
+    var k = 0; var ih = 0; var ia = 0; var sup = 0
+    def emit(s: Int, e0: Int): Unit = {
+      var e = e0
+      while (e > s && { val c = b(e - 1); c == '.' || c == ',' || c == ';' || c == ')' }) e -= 1
+      if (e > s) {
+        val arr = new Array[Byte](e - s)
+        org.apache.spark.unsafe.Platform.copyMemory(text.getBaseObject, text.getBaseOffset + s,
+          arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, e - s)
+        res(k) = UTF8String.fromBytes(arr); k += 1
+      }
+    }
+    while (ih < nh || ia < na) {
+      if (ia >= na || (ih < nh && hs(ih) <= as(ia))) { emit(hs(ih), he(ih)); ih += 1 }
+      else {
+        val s = as(ia)
+        while (sup < nh && he(sup) <= s) sup += 1
+        if (!(sup < nh && hs(sup) <= s)) emit(s, ae(ia))
+        ia += 1
+      }
+    }
+    if (k == 0) EMPTY_ARRAY
+    else if (k == res.length) new GenericArrayData(res)
+    else new GenericArrayData(java.util.Arrays.copyOf(res.asInstanceOf[Array[AnyRef]], k))
   }
+
+  private val EMPTY_INT = new Array[Int](0)
+  private val EMPTY_ARRAY = new GenericArrayData(new Array[Any](0))
+  private def grow(a: Array[Int]): Array[Int] =
+    java.util.Arrays.copyOf(a, math.max(4, a.length * 2))
 }

@@ -29,6 +29,39 @@ class ExpressionsSpec extends SparkTestBase {
     assert(got == graft.urls.UrlExtract.extract(text).toSeq)
   }
 
+  test("byte-level extractUTF8 ≡ regex UrlExtract on adversarial + random inputs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def viaBytes(s: String): Seq[String] = {
+      val a = GraftRT.extractUTF8(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    val edge = Seq(
+      "", "h", "http://", "https://", "http://x", "HtTpS://X.Y/p",
+      "xhttps://a.ex/p", "_https://a.ex/p", "0https://a.ex/p", "-https://a.ex/p",
+      """href="/rel"""", """HREF="/REL"""", """href="""", """href="unterminated""",
+      """href="a" href="b" https://c.ex/d""",
+      """<a href="https://in.href/x">t</a> https://out.side/y""",
+      """https://x/?href="https://y"""", // abs swallowing href=, then href value
+      "link https://a.ex/p. end", "https://a.ex/p,;)...", "https://a.ex/....",
+      "https://a.ex/p\nhttps://b.ex/q\thttps://c.ex/r",
+      "日本 https://uni.ex/パス?q=1 後", "préhttps://acc.ex/p", // non-ASCII boundary
+      """href="x" https://a.ex/p href="y"""",
+      "http://a.ex/1 https://a.ex/2 HTTP://A.EX/3",
+      """text href="../up/page" more""", "(see https://paren.ex/p)")
+    edge.foreach { s =>
+      assert(viaBytes(s) == graft.urls.UrlExtract.extract(s).toSeq, s"input: $s")
+    }
+    // randomized: fragments that stress every branch, fixed seed
+    val rnd = new scala.util.Random(4242)
+    val frags = Array("https://h.ex/p", "HTTP://H.EX/Q", "href=\"", "\"", "/rel",
+      "../u", " ", "\n", ".", ",", ")", ";", "<", ">", "'", "x", "_", "7", "é",
+      "http", "s://", "://", "=", "日", "٣", "\u200d")
+    (1 to 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))(frags(rnd.nextInt(frags.length))).mkString
+      assert(viaBytes(s) == graft.urls.UrlExtract.extract(s).toSeq, s"input: $s")
+    }
+  }
+
   test("url_hash matches UrlHash.hash64 (xxhash64 seed 42)") {
     val u = "https://host1.example/p42"
     val got = Seq(u).toDF("u").select(url_hash($"u")).as[Long].head()
