@@ -87,6 +87,40 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectSeen(e2) == collectSeen(engine))
   }
 
+  test("torn partial round writes are invisible: resume equals the uninterrupted crawl") {
+    // The snapshot invariant ("partially-written rounds are invisible",
+    // SURVEY §8a.3/§8b.6): a crash can happen AFTER any subset of round
+    // k+1's data files are written but BEFORE the atomic manifest
+    // rename. Simulate the worst torn state at two stop points —
+    // garbage parquet in every round-(k+1) sink path, a stray shard
+    // blob, an orphan un-committed seen_base dir — and assert a fresh
+    // engine resumes to the exact uninterrupted crawl (overwrite-mode
+    // sinks replace torn dirs; the manifest lists only real shard
+    // files; the orphan base is never referenced).
+    import java.nio.file.{Files, Paths}
+    def splat(path: String, name: String): Unit = {
+      val d = Paths.get(path)
+      Files.createDirectories(d)
+      Files.write(d.resolve(name), "not a parquet file".getBytes)
+    }
+    Seq(1, 3).foreach { k =>
+      val dir = snapDir(s"torn-$k")
+      val e1 = new CrawlEngine(spark, fixtureDir, dir, cfg)
+      e1.runFresh(maxRounds = k)
+      val next = e1.store.lastCommitted().get + 1
+      splat(e1.store.frontierPath(next), "part-00000.snappy.parquet")
+      splat(e1.store.fetchLogPath(next), "part-00000.snappy.parquet")
+      splat(e1.store.seenDeltaPath(next), "part-00000.snappy.parquet")
+      splat(e1.store.hostReadyPath(next), "part-00000.snappy.parquet")
+      splat(e1.store.bloomsDir(next), "shard-0.dead-uuid.bin")
+      splat(e1.store.seenBasePath(next), "part-00000.snappy.parquet")
+      val e2 = new CrawlEngine(spark, fixtureDir, dir, cfg)
+      e2.resume()
+      assert(collectLog(e2) == collectLog(engine), s"fetch log diverged at stop point $k")
+      assert(collectSeen(e2) == collectSeen(engine), s"seen set diverged at stop point $k")
+    }
+  }
+
   test("window, salted, and typed-heap schedulers produce identical crawls") {
     val eWindow = new CrawlEngine(spark, fixtureDir, snapDir("window"),
       cfg.copy(saltedScheduler = false))
