@@ -1,11 +1,14 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
 import graft.corpus.CorpusGen
-import graft.crawl.Scheduler
-import graft.functions.{canonicalize_url, host_of}
-import graft.queries.CrawlOps
-import org.apache.spark.sql.SparkSession
+import graft.crawl.{RobotsAllows, RobotsIndex, Scheduler}
+import graft.functions.canonicalize_url
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftinternal.Shim
 import org.apache.spark.storage.StorageLevel
 
 /** The north-metric bench (BASELINE.json:2): "URLs fetched+deduped/sec on
@@ -17,19 +20,59 @@ import org.apache.spark.storage.StorageLevel
   * The frontier is the bench corpus variant-multiplied ×V (each page URL
   * becomes V distinct `?v=k` URLs resolving to the same document), giving
   * a 20M-URL frontier from the 500k-page corpus with zero extra fixture
-  * cost. The timed pipeline is exactly one crawl round: robots filter →
-  * salted politeness schedule → fetch join → span explode → link
-  * extraction → RFC 3986 canonicalization → xxhash64 → intra-batch dedup
-  * → anti-join against a preloaded seen set.
+  * cost. The timed pipeline is exactly one crawl round: robots filter
+  * (the engine's codegen [[RobotsAllows]] expression — round 3 replaced
+  * the bench-local Scala UDF, which was both slower and unrepresentative
+  * of the engine's actual filter) → salted politeness schedule → fetch
+  * join → span explode → link extraction → RFC 3986 canonicalization →
+  * xxhash64 → intra-batch dedup → anti-join against a preloaded seen set.
+  *
+  * The static inputs ("the web" hosting map and the interleaved corpus)
+  * live as one-time bucketed+sorted parquet tables — the same production
+  * layout the iterative crawl loop adopted in round 3 (CrawlEngine
+  * .bucketedInput): the fetch join and the docs join scan bucket-aligned
+  * with no exchange and no sort on the static side, so the timed round
+  * shuffles only the frontier-derived sides. The bucket count is PINNED
+  * (default 128) independently of the core count, so the N-core and
+  * 4N-core scaling runs read byte-identical inputs through an identical
+  * exchange topology.
   *
   * Run at SPARK_GRAFT_CPUS=8 and =32 on identical input for the N→4N
   * scaling evidence: efficiency = T_32 / (4 × T_8).
   */
 object BenchFrontier {
+  /** One-time bucketed+sorted parquet table next to the fixtures (bench
+    * storage prep, local-FS by design — the engine's own snapshot/shard
+    * I/O goes through the Hadoop FileSystem API instead). Re-registered
+    * from explicit DDL in fresh sessions (in-memory catalog). */
+  private def bucketedTable(spark: SparkSession, loc: String, name: String,
+                            key: String, buckets: Int, ddl: String)
+                           (src: => DataFrame): DataFrame = {
+    val tbl = s"bench_${name}_${java.lang.Integer.toHexString(loc.hashCode)}"
+    val marker = Paths.get(loc, "_BUCKETED_DONE")
+    if (!Files.exists(marker)) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = Paths.get(loc)
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      src.repartition(buckets, col(key))
+        .write.format("parquet").bucketBy(buckets, key).sortBy(key)
+        .option("path", loc).saveAsTable(tbl)
+      Files.createFile(marker)
+    } else if (!spark.catalog.tableExists(tbl)) {
+      spark.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$loc'")
+    }
+    spark.table(tbl)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val variants = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_X", "40").toInt
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_BUCKETS", "128").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus * 4) // tasks ≫ cores
@@ -38,24 +81,29 @@ object BenchFrontier {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
     val fx = CorpusGen.ensureFor(spark, sfDir)
-    val tier = CorpusGen.tierFor(sfDir)
 
     // ---- untimed input preparation ("the web" + the frontier + seen) ----
-    val hostingX = CorpusGen.hosting(spark, fx)
-      .select(col("url_canon"), col("host"), col("doc_id"), col("status"),
-        explode(sequence(lit(0), lit(variants - 1))).as("v"))
-      .withColumn("url_canon", concat(col("url_canon"), lit("?v="), col("v")))
-      .withColumn("page_hash", xxhash64(col("url_canon")))
-      .drop("v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prepRoot = s"$fx/frontierx-v$variants-b$buckets"
+    val hostingX = bucketedTable(spark, s"$prepRoot/hosting", "hostingx",
+      "page_hash", buckets,
+      "url_canon STRING, host STRING, doc_id STRING, status STRING, page_hash BIGINT") {
+      CorpusGen.hosting(spark, fx)
+        .select(col("url_canon"), col("host"), col("doc_id"), col("status"),
+          explode(sequence(lit(0), lit(variants - 1))).as("v"))
+        .withColumn("url_canon", concat(col("url_canon"), lit("?v="), col("v")))
+        .withColumn("page_hash", xxhash64(col("url_canon")))
+        .drop("v")
+    }
     val frontierSize = hostingX.count()
 
-    val docs = CorpusGen.interleaved(spark, fx).persist(StorageLevel.MEMORY_AND_DISK)
-    docs.count()
+    val docs = bucketedTable(spark, s"$prepRoot/docs", "docs", "doc_id", buckets,
+      "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, " +
+        "media_ref: STRING, offset: INT>>") {
+      CorpusGen.interleaved(spark, fx)
+    }
 
     // seen set: every 10th base-page URL is already seen (candidate links
     // resolve to base URLs, so the anti-join genuinely dedupes ~10%)
@@ -69,11 +117,10 @@ object BenchFrontier {
       .agg(max("crawl_delay_ms").as("delay_ms")).withColumn("ready_ts", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     delays.count()
-    val disallow = CorpusGen.robots(spark, fx).filter(!col("allow"))
-      .select(col("host").as("r_host"), col("path_prefix"))
-      .collect()
-    val disallowB = spark.sparkContext.broadcast(
-      disallow.groupBy(_.getString(0)).map { case (h, rs) => h -> rs.map(_.getString(1)) })
+    val robotsIndex = new RobotsIndex(
+      CorpusGen.robots(spark, fx).select("host", "allow", "path_prefix").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+        .groupBy(_._1).map { case (h, rs) => h -> rs.map(r => (r._2, r._3)) })
 
     val frontier = hostingX
       .select(col("url_canon"), col("page_hash").as("url_hash"), col("host"), lit(0).as("depth"))
@@ -81,12 +128,8 @@ object BenchFrontier {
     // ---- the timed round -------------------------------------------------
     val t0 = System.nanoTime()
 
-    val allowedUdf = udf { (host: String, url: String) =>
-      val prefixes = disallowB.value.getOrElse(host, Array.empty[String])
-      val path = graft.urls.UrlCanon.pathOf(url)
-      !prefixes.exists(path.startsWith)
-    }
-    val allowed = frontier.filter(allowedUdf(col("host"), col("url_canon")))
+    val allowed = frontier.filter(Shim.col(RobotsAllows(
+      Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
     val sched = Scheduler.salted(allowed, delays, 0L)
 
     val fetched = sched.join(hostingX.select("page_hash", "doc_id", "status"),
@@ -115,7 +158,7 @@ object BenchFrontier {
     val candCount = cand.count()
     val urlsPerSec = (frontierSize + candCount) / wallSec
     println(
-      s"""{"cpus":$cpus,"sf":"$sfDir","variants":$variants,""" +
+      s"""{"cpus":$cpus,"sf":"$sfDir","variants":$variants,"buckets":$buckets,""" +
         s""""frontier_urls":$frontierSize,"candidates":$candCount,"new_urls":$newCount,""" +
         s""""round_sec":$wallSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}""")
     spark.stop()
