@@ -64,7 +64,20 @@ object Scheduler {
     * global-rank = cumulative offset of earlier (depth, salt) groups +
     * rank within (host, depth, salt). Both the in-group rank and the
     * offset table are computed distributedly; max task size drops from
-    * |hot host| to |hot host| / 256. */
+    * |hot host| to |hot host| / 256.
+    *
+    * The two branches deliberately read `df` twice (no shared
+    * repartition): a late-round-3 rewrite that pre-repartitioned on
+    * (host, depth, salt) to "share one exchange" was measured and
+    * REJECTED — per-branch column pruning makes the two logical subtree
+    * copies differ, so ReuseExchange never fires, and the explicit
+    * repartition defeats the offsets groupBy's map-side partial
+    * aggregation (it shuffles every key trio instead of per-partition
+    * counts). In this form the offsets branch scans only the pruned
+    * (host, depth, url_hash) columns and ships ≤ hosts×depths×256
+    * pre-aggregated rows; interleaved same-window A/B at c8 on the 20 M
+    * frontier: 41.7 s vs 41.9 s medians — a wash locally, and this form
+    * shuffles strictly less at scale. */
   def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
              broadcastMeta: Boolean = true): DataFrame = {
     val saltCol = shiftright(col("url_hash"), 56) // signed ⇒ monotonic in url_hash
