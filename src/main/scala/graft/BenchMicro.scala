@@ -54,10 +54,32 @@ object BenchMicro {
         lit("https://host7.example/base/dir?x=0"))).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000L)))).as[Long].head()
     val secMix = (System.nanoTime() - t3) / 1e9
+    // robots kernel: the codegen RobotsAllows decision over a 1500-host
+    // rule table (4 prefixes/host, 1/3 of probed hosts unlisted) —
+    // isolates the byte-level matcher added late in round 3. Run with
+    // GRAFT_ROBOTS_STRINGS=1 for the allocating String-oracle control
+    // (same binary; the flag is read once per JVM inside RobotsIndex).
+    val robotsIdx = new graft.crawl.RobotsIndex(
+      (0 until 1000).map { k =>
+        s"host$k.example" -> Array((false, "/private"), (true, "/private/pub"),
+          (false, s"/p/${k % 7}"), (true, "/p"))
+      }.toMap)
+    val t4 = System.nanoTime()
+    import org.apache.spark.sql.graftinternal.Shim
+    val hostCol = concat(lit("host"), pmod($"id", lit(1500)), lit(".example"))
+    val urlCol = concat(lit("https://"), hostCol, lit("/p/"), pmod($"id", lit(11)), lit("/doc?q=1"))
+    val outRob = spark.range(0, n, 1, cpus * 4)
+      .select(hostCol.as("host"), urlCol.as("url"))
+      .filter(Shim.col(graft.crawl.RobotsAllows(Shim.expr(col("host")), Shim.expr(col("url")),
+        robotsIdx)))
+      .count()
+    val secRob = (System.nanoTime() - t4) / 1e9
     println(s"""{"cpus":$cpus,"n":$n,"sec":$sec,"urls_per_sec":${n / sec},"checksum":$out,""" +
       s""""fastpath_sec":$secFast,"fastpath_urls_per_sec":${n / secFast},"checksum_fast":$outFast,""" +
       s""""relpath_sec":$secRel,"relpath_urls_per_sec":${n / secRel},"checksum_rel":$outRel,""" +
-      s""""mixed_sec":$secMix,"mixed_urls_per_sec":${n / secMix},"checksum_mixed":$outMix}""")
+      s""""mixed_sec":$secMix,"mixed_urls_per_sec":${n / secMix},"checksum_mixed":$outMix,""" +
+      s""""robots_sec":$secRob,"robots_urls_per_sec":${n / secRob},"robots_allowed":$outRob,""" +
+      s""""robots_strings":${sys.env.contains("GRAFT_ROBOTS_STRINGS")}}""")
     spark.stop()
   }
 }
