@@ -128,11 +128,26 @@ object BenchFrontier {
     // ---- the timed round -------------------------------------------------
     val t0 = System.nanoTime()
 
-    val allowed = frontier.filter(Shim.col(RobotsAllows(
+    // Skinny scheduling (late round 3, OPT-IN — measured worse here):
+    // url_canon (the row's widest column, ~60-80 B vs ~30 B for the
+    // rest) does NOT transit the scheduler exchange, the global-order
+    // range exchange, or the fetch-join exchange — it is recovered from
+    // the bucketed hosting table by the fetch join the pipeline already
+    // does (exchange-free on the bucketed side). Same-binary interleaved
+    // A/B (BENCH/BASELINE.md §5): wash at c8, consistently ~25% slower
+    // at c32 (the recovered column widens the hosting-side parquet read,
+    // and this box's shuffle is memory-bus-bound, so saved bytes don't
+    // pay). Wide is default; GRAFT_FRONTIER_SKINNY selects skinny for
+    // network-shuffle-bound deployments.
+    val wide = !sys.env.contains("GRAFT_FRONTIER_SKINNY")
+    val allowed0 = frontier.filter(Shim.col(RobotsAllows(
       Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
+    val allowed = if (wide) allowed0 else allowed0.select("url_hash", "host", "depth")
     val sched = Scheduler.salted(allowed, delays, 0L)
 
-    val fetched = sched.join(hostingX.select("page_hash", "doc_id", "status"),
+    val hostingCols = if (wide) Seq("page_hash", "doc_id", "status")
+                      else Seq("page_hash", "url_canon", "doc_id", "status")
+    val fetched = sched.join(hostingX.select(hostingCols.map(col): _*),
         sched("url_hash") === col("page_hash"), "left")
       .drop("page_hash")
 

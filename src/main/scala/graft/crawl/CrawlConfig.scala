@@ -43,4 +43,20 @@ final case class CrawlConfig(
   /** Files per snapshot write (fetchlog/delta/frontier). Task-commit
     * overhead dominates small-round writes at 32 files; at 10^10-URL
     * scale set this to `partitions` so write parallelism matches. */
-  snapshotWriteFiles: Int = 8)
+  snapshotWriteFiles: Int = 8,
+  /** Skinny scheduling: url_canon (the frontier's widest column) does
+    * not transit the scheduler/global-order/fetch exchanges — the
+    * allowed frontier is cached once, a (url_hash, url_canon) projection
+    * is hash-partitioned once, and both the fetch join and the carried
+    * path recover the string by url_hash off that aligned cache
+    * (exchange-free on the canon side). Cuts per-round shuffle bytes
+    * ~40% — worth it ONLY where shuffle is network-bound and rounds are
+    * large enough to amortize the two extra cache materializations.
+    * Measured on this single-JVM box (same-binary interleaved A/B,
+    * BENCH/BASELINE.md §5): ~14% faster at c8 but ~17% SLOWER at c32 in
+    * every pair — the extra per-round barriers dominate when the sandbox
+    * corpus leaves cores starved — so the default is the wide shape;
+    * wide≡skinny crawl equality is pinned in CrawlEngineSpec.
+    * Ignored (wide) under typedHeapScheduler, which needs the string
+    * in its typed rows. */
+  skinnySchedule: Boolean = false)

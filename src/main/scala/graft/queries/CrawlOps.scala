@@ -35,7 +35,12 @@ object CrawlOps {
     val perHost = math.max(2500, tier.docs / 6)
     val p = sys.env.get("GRAFT_CRAWL_PARTITIONS").map(_.toInt).getOrElse(partitions)
     CrawlConfig(maxDepth = 10, perHostPerRound = perHost, partitions = p,
-      bloomShardCapacity = math.max(100000L, tier.docs.toLong))
+      bloomShardCapacity = math.max(100000L, tier.docs.toLong),
+      // GRAFT_CRAWL_SKINNY = same-binary A/B control: keep url_canon
+      // out of the per-round exchanges and rejoin it off the
+      // url_hash-aligned canon cache (loses at c32 on this box — see
+      // CrawlConfig.skinnySchedule scaladoc; opt-in for clusters)
+      skinnySchedule = sys.env.contains("GRAFT_CRAWL_SKINNY"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -121,6 +121,14 @@ class CrawlEngineSpec extends SparkTestBase {
     }
   }
 
+  test("skinny scheduling (url_canon rejoined off the canon cache) produces the identical crawl") {
+    val eSkinny = new CrawlEngine(spark, fixtureDir, snapDir("skinny"),
+      cfg.copy(skinnySchedule = true))
+    eSkinny.runFresh()
+    assert(collectLog(eSkinny) == collectLog(engine))
+    assert(collectSeen(eSkinny) == collectSeen(engine))
+  }
+
   test("window, salted, and typed-heap schedulers produce identical crawls") {
     val eWindow = new CrawlEngine(spark, fixtureDir, snapDir("window"),
       cfg.copy(saltedScheduler = false))
