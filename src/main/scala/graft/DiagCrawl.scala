@@ -36,6 +36,32 @@ object DiagCrawl {
         done.add((je.jobId, (je.time - t0) / 1e3, desc))
       }
     })
+    // attribute jobs to SQL executions (a broadcast-build job runs under
+    // its parent query's execution id), and keep each execution's plan
+    // header so "who spawns the broadcast builds" is answerable
+    val execPlans = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val jobExec = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          val bcasts = "BroadcastExchange".r.findAllIn(s.physicalPlanDescription).size
+          val header = s.physicalPlanDescription.linesIterator
+            .filter(_.nonEmpty).take(40)
+            .filter(l => l.contains("Scan") || l.contains("Exchange"))
+            .map(_.replaceAll("\\[.*", "").replaceAll("\\(\\d+\\)", "").trim)
+            .mkString("; ").take(220)
+          execPlans.put(s.executionId, s"bcast=$bcasts $header")
+          if (sys.env.contains("GRAFT_DIAG_PLANS"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"target/diag-plans/exec-${s.executionId}.txt"),
+              s.physicalPlanDescription.getBytes)
+        case _ =>
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        Option(js.properties).flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .foreach(id => jobExec.put(js.jobId, id.toLong))
+      }
+    })
     val taskMs = new java.util.concurrent.atomic.AtomicLong()
     val taskCpuNs = new java.util.concurrent.atomic.AtomicLong()
     val taskN = new java.util.concurrent.atomic.AtomicLong()
@@ -74,6 +100,13 @@ object DiagCrawl {
     ds.take(15).foreach { case (id, sec, desc) =>
       System.err.println(f"[diag] job $id%4d $sec%7.2f s  ${desc.take(120)}")
     }
+    // per-execution rollup: job seconds grouped by the query's plan shape
+    ds.groupBy(j => Option(jobExec.get(j._1)).flatMap(e => Option(execPlans.get(e)))
+        .getOrElse("no-exec"))
+      .map { case (plan, js) => (js.map(_._2).sum, js.size, plan) }
+      .toVector.sortBy(-_._1).take(18).foreach { case (sec, n, plan) =>
+        System.err.println(f"[diag] exec $sec%7.2f s  jobs=$n%-4d $plan")
+      }
     spark.stop()
   }
 }
