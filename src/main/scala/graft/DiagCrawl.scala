@@ -51,10 +51,13 @@ object DiagCrawl {
             .map(_.replaceAll("\\[.*", "").replaceAll("\\(\\d+\\)", "").trim)
             .mkString("; ").take(220)
           execPlans.put(s.executionId, s"bcast=$bcasts $header")
-          if (sys.env.contains("GRAFT_DIAG_PLANS"))
+          if (sys.env.contains("GRAFT_DIAG_PLANS")) {
+            val dir = java.nio.file.Paths.get("target/diag-plans")
+            java.nio.file.Files.createDirectories(dir)
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(s"target/diag-plans/exec-${s.executionId}.txt"),
+              dir.resolve(s"exec-${s.executionId}.txt"),
               s.physicalPlanDescription.getBytes)
+          }
         case _ =>
       }
       override def onJobStart(js: SparkListenerJobStart): Unit = {

@@ -302,6 +302,15 @@ final class CrawlEngine(
   private def loop(maxRounds: Int): CrawlSummary = {
     var round = store.lastCommitted().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
+    // Fail fast on a pre-delay_ms-format snapshot: host-ready is the SOLE
+    // source of per-host delay since round 3 (hostMetaDf no longer joins
+    // delaysDf), and reading an old 2-column file through the 3-column
+    // schema would silently null every delay (→ defaultDelayMs politeness
+    // for all hosts) instead of erroring (review finding).
+    val hostReadyActual = spark.read.parquet(store.hostReadyPath(round)).schema
+    require(hostReadyActual.fieldNames.contains("delay_ms"),
+      s"host-ready snapshot at ${store.hostReadyPath(round)} predates the " +
+        "delay_ms-carrying format; re-run the crawl from scratch (runFresh)")
     var hostReadyDf = spark.read.schema(hostReadySchema).parquet(store.hostReadyPath(round))
     var seenPaths: Seq[String] = store.liveSeenPaths()
     // The compacted seen base lives as a BUCKETED (by url_hash, sorted)
@@ -399,13 +408,24 @@ final class CrawlEngine(
       // fewer shuffle bytes per round, and the robots filter runs once
       // into the cache instead of twice (scheduler + offsets branches).
       val skinny = cfg.skinnySchedule && !cfg.typedHeapScheduler
+      // Cache the allowed frontier whenever recomputing it is expensive:
+      // the salted scheduler scans it twice (rank + offsets branches),
+      // which is fine for the broadcast-robots codegen filter (a scan +
+      // filter) but re-executes the whole RobotsJoin dropDuplicates +
+      // join + agg + semi-join subtree per branch in web-scale join mode
+      // (review finding) — and skinny additionally needs the cached
+      // (url_hash, url_canon) projection.
+      val cacheAllowed = skinny || cfg.robotsViaJoin
       val allowedCache =
-        if (skinny) Some(allowedWide.persist(StorageLevel.MEMORY_AND_DISK)) else None
-      val canonCache = allowedCache.map(_.select("url_hash", "url_canon")
-        .repartition(cfg.partitions, col("url_hash"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-      val allowed = allowedCache.map(_.select("url_hash", "host", "depth"))
-        .getOrElse(allowedWide)
+        if (cacheAllowed) Some(allowedWide.persist(StorageLevel.MEMORY_AND_DISK)) else None
+      val canonCache =
+        if (skinny) allowedCache.map(_.select("url_hash", "url_canon")
+          .repartition(cfg.partitions, col("url_hash"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        else None
+      val allowed =
+        if (skinny) allowedCache.get.select("url_hash", "host", "depth")
+        else allowedCache.getOrElse(allowedWide)
 
       // W1/Q1: politeness schedule
       val hostMeta = hostMetaDf(hostReadyDf)

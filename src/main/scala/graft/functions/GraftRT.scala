@@ -47,7 +47,9 @@ object GraftRT {
     * canonicalize(ref, base) is exactly
     *   base.take(prefixEnd) ++ ref
     * where prefixEnd is the end of the base's authority (ref starts
-    * with '/') or one past the last '/' of the base's path (§5.2.3
+    * with '/'), the end of the base's path (query-only "?…" refs keep
+    * the full base path per §5.2.2, dropping the base's own query), or
+    * one past the last '/' of the base's path (§5.2.3
     * merge). The base must itself pass [[isCanonicalAscii]], which
     * guarantees scheme/host/port are already normal and its path has
     * no dot segments. */
@@ -62,6 +64,11 @@ object GraftRT {
     // ineligible renderings, so this ordering is what keeps the fast
     // path a net win on real corpora, not just on eligible-only input.
     val absolute = b(0) == '/'
+    // query-only ref ("?page=2"): §5.2.2 keeps the FULL base path and
+    // replaces only the query — a different prefix rule than the
+    // last-segment merge below (round-3 review fix: the merge rule
+    // silently dropped the base's last path segment for these)
+    val queryOnly = b(0) == '?'
     if (absolute && n >= 2 && b(1) == '/') return null // protocol-relative: authority swap
     if (!absolute && b(0) == '.') return null // "."/".."/"./…"/"../…" lead segments
     var i = 0
@@ -91,7 +98,12 @@ object GraftRT {
     while (p < bn && bb(p) != '/') p += 1
     val prefixEnd =
       if (absolute) p
-      else {
+      else if (queryOnly) {
+        // full base path, base's own query (if any) dropped
+        var q = p
+        while (q < bn && bb(q) != '?') q += 1
+        q
+      } else {
         var q = p
         var last = p
         while (q < bn && bb(q) != '?') { if (bb(q) == '/') last = q; q += 1 }

@@ -190,7 +190,10 @@ class UrlCanonSpec extends AnyFunSuite {
       "//other.example/p", "/p#frag", "/p%7e", "/./x", "/../x", "../up",
       "./here", ".", "..", "x/./y", "x/../y", "/x/.", "/x/..", "/x/y/.",
       "a:b", "/a:b", "/p?", "p?", "", "/ p", "/p\ttab", "/p?q?r", "/p??",
-      "/@at", "/[br]", "/p;x=1", "/p,q", "https://abs.example/q", "/p1/p2/p3?a=b&c=d")
+      "/@at", "/[br]", "/p;x=1", "/p,q", "https://abs.example/q", "/p1/p2/p3?a=b&c=d",
+      // query-only refs: §5.2.2 keeps the FULL base path (round-3 review
+      // caught the last-segment merge being wrongly applied to these)
+      "?page=2", "?x", "?a=1&b=2", "?q?r", "??", "?")
     for (b <- bases; r <- refs) {
       fast(r, b).foreach { got =>
         val want = UrlCanon.canonicalize(r, b)
@@ -201,8 +204,9 @@ class UrlCanonSpec extends AnyFunSuite {
     // canonical bases must take the fast path
     val hits = Seq(
       ("/page/123", "http://a.example/"), ("img/photo.jpg", "http://a.example/dir/index"),
-      ("/p?a=1", "https://b.example:8080/x")).count { case (r, b) => fast(r, b).isDefined }
-    assert(hits == 3, s"fast resolve too conservative: $hits/3")
+      ("/p?a=1", "https://b.example:8080/x"),
+      ("?page=2", "http://a.example/dir/list")).count { case (r, b) => fast(r, b).isDefined }
+    assert(hits == 4, s"fast resolve too conservative: $hits/4")
   }
 
   test("extraction grammar: absolute, href, relative, trailing punctuation, order") {
