@@ -213,10 +213,10 @@ final class CrawlEngine(
     val bloomPaths: Array[String] =
       if (!cfg.useBloom) Array.empty
       else {
-        val reader = new BloomShardReader(store.liveBloomPaths(), store.confSer)
         if (cfg.seenFilter == "cuckoo")
-          SeenSet.retireFromShards(spark, retired, reader, store.bloomsDir(next),
-            cfg.partitions)
+          SeenSet.retireFromShards(spark, retired,
+            new BloomShardReader(store.liveBloomPaths(), store.confSer),
+            store.bloomsDir(next), cfg.partitions)
         else
           SeenSet.buildShards(spark, spark.table(baseTableName).select("url_hash"),
             None, store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity,
@@ -238,7 +238,13 @@ final class CrawlEngine(
     * (round, fetch_ts, host, url_hash) order == seq order. */
   def fetchLog(): DataFrame = {
     val rounds = store.committedRounds().filter(r => store.exists(store.fetchLogPath(r)))
-    if (rounds.isEmpty) return spark.emptyDataFrame
+    // schema-carrying empty frame, not spark.emptyDataFrame: callers
+    // (spansEmitted, oracle comparisons) select fetch-log columns and
+    // must get zero rows, not UNRESOLVED_COLUMN (review finding)
+    if (rounds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(fetchLogSchema))
     spark.read.schema(fetchLogSchema).parquet(rounds.map(store.fetchLogPath): _*)
   }
 
@@ -429,9 +435,15 @@ final class CrawlEngine(
 
       // W1/Q1: politeness schedule
       val hostMeta = hostMetaDf(hostReadyDf)
-      // row-count metrics ride the round's existing actions as
-      // Observations (CollectMetrics) — no dedicated count jobs
-      val schedAllObs = new org.apache.spark.sql.Observation(s"schedall-r$round")
+      // NOTE on row-count metrics: rounds 2-3 rode them on Observations
+      // (CollectMetrics) inside the round's plans. That is sound ONLY on
+      // a single-consumer edge materialized by exactly one stage; any
+      // metered subtree under a multi-consumer cache (or under
+      // GlobalOrder's rank+offsets fan-out) fires once PER CONSUMING
+      // STAGE — the committed diag manifests showed carried=-scheduled
+      // every round from exactly this. schedAll/within counts now come
+      // from one exact aggregate over the hot schedAll cache after the
+      // round's single materialization (same pattern as candCount).
       val schedAll = (
         if (cfg.typedHeapScheduler)
           Scheduler.typedHeap(spark, allowed, delayByHost, collectHostReady(hostReadyDf),
@@ -444,8 +456,7 @@ final class CrawlEngine(
         else
           Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs,
             broadcastMeta = !cfg.robotsViaJoin)
-        ).observe(schedAllObs, count(lit(1)).as("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
       val carried = canonCache match {
         case Some(canon) =>
@@ -457,18 +468,18 @@ final class CrawlEngine(
           schedAll.filter(col("rn") > cfg.perHostPerRound)
             .select("url_canon", "url_hash", "host", "depth")
       }
-      val withinObs = new org.apache.spark.sql.Observation(s"withincap-r$round")
       val withinHostCap = schedAll.filter(col("rn") <= cfg.perHostPerRound)
-        .observe(withinObs, count(lit(1)).as("n"))
 
       // O1/O2: global crawl order + budget truncation — one declarative
       // plan (GlobalOrder), no counting pre-job; the scheduled row count
       // rides the fetch-log write as an Observation
       val schedObs = new org.apache.spark.sql.Observation(s"sched-r$round")
-      // not persisted: the fetch join below is its only consumer, and the
-      // fetched cache is the round's reuse point
-      val sched = GlobalOrder.withSeq(withinHostCap,
+      // withSeqCached pins ONE range layout (and one execution of the
+      // scheduler subtree) for the rank + offsets branches; the layout
+      // cache is released with the round's other caches below
+      val (schedSeq, schedSeqCleanup) = GlobalOrder.withSeqCached(withinHostCap,
           Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", fetchedSoFar)
+      val sched = schedSeq
         .filter(col("seq") <= cfg.totalBudget)
         .observe(schedObs, count(lit(1)).as("n"))
       lap("globalorder")
@@ -513,17 +524,29 @@ final class CrawlEngine(
       val schedCount = obsLong(schedObs, "n")
       if (schedCount == 0L) {
         (Seq(schedAll, fetched) ++ canonCache ++ allowedCache).foreach(_.unpersist())
+        schedSeqCleanup()
         return false
       }
       val statusCounts = Map(
         "ok" -> obsLong(fetchObs, "ok"),
         "404" -> obsLong(fetchObs, "s404"),
         "missing" -> obsLong(fetchObs, "missing"))
-      val schedAllCount = obsLong(schedAllObs, "n")
+      // exact, race-free counts off the hot schedAll cache (one tiny
+      // cache-scan job; see the metrics NOTE above the scheduler)
+      val Array(schedAllCount, withinCount) = schedAll
+        .agg(count(lit(1)),
+          coalesce(sum(when(col("rn") <= cfg.perHostPerRound, 1L).otherwise(0L)), lit(0L)))
+        .head().toSeq.map(_.asInstanceOf[Number].longValue()).toArray
       val deniedCount = math.max(0L, frontierRows - schedAllCount)
       // rows beyond the per-host cap carry; rows beyond the total budget
       // are dropped ([PINNED] — matches the oracle's take())
-      val carriedCount = schedAllCount - obsLong(withinObs, "n")
+      val carriedCount = schedAllCount - withinCount
+      // tripwire: the round-2/3 Observation-based counts went negative
+      // here (multi-consumer double-fire); exact counts cannot, so any
+      // future regression fails loud instead of corrupting the manifest
+      // and the frontierRows termination gate
+      require(carriedCount >= 0,
+        s"carried=$carriedCount < 0: schedAll counts are inconsistent")
       val fetchLogFut = scala.concurrent.Future {
         fetched.select("seq", "url_canon", "url_hash", "host", "depth", "round",
             "rn", "fetch_ts", "status", "doc_id")
@@ -633,10 +656,19 @@ final class CrawlEngine(
       if (cfg.useBloom) bloomReader = Some(new BloomShardReader(bloomPaths, store.confSer))
       val newCount = lineage.sum
 
+      // join the frontier sink BEFORE compaction: writeSeenBase runs
+      // DROP TABLE on the old base, and DropTableCommand uncaches
+      // dependent cached plans — including the persisted newUrls frame
+      // the in-flight frontier write is scanning (review finding). The
+      // overlap the future buys is with the shard build above, which has
+      // already completed by this point either way.
+      lap("reader-upd")
+      scala.concurrent.Await.result(frontierFut, scala.concurrent.duration.Duration.Inf)
+      lap("frontier-write")
+
       // Iceberg-style compaction: fold the delta chain into one base file
       // once it grows past the threshold, keeping every round's seen scan
       // a bounded number of files (amortized-log rewrite cost)
-      lap("reader-upd")
       seenPaths = seenPaths :+ store.seenDeltaPath(next)
       if (seenPaths.size >= cfg.seenCompactEvery) {
         val bp = writeSeenBase(next,
@@ -645,11 +677,9 @@ final class CrawlEngine(
         basePath = Some(bp)
       }
 
-      // join the concurrent sinks before committing (commit makes the
-      // round visible — every file must be durable first)
+      // join the remaining concurrent sinks before committing (commit
+      // makes the round visible — every file must be durable first)
       lap("compaction")
-      scala.concurrent.Await.result(frontierFut, scala.concurrent.duration.Duration.Inf)
-      lap("frontier-write")
       scala.concurrent.Await.result(hostReadyFut, scala.concurrent.duration.Duration.Inf)
       scala.concurrent.Await.result(fetchLogFut, scala.concurrent.duration.Duration.Inf)
       lap("fetchlog-join")
@@ -676,6 +706,7 @@ final class CrawlEngine(
         lineage, metrics, seenPaths, bloomPaths.toSeq, cfg.partitions))
 
       (Seq(schedAll, fetched, newUrls) ++ canonCache ++ allowedCache).foreach(_.unpersist())
+      schedSeqCleanup() // release the pinned GlobalOrder range layout
       probeCleanup() // release the bloom probe-stage cache
       round = next
       true

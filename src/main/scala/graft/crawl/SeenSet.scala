@@ -36,7 +36,7 @@ final class BloomShardReader(val paths: Array[String],
     val conf: HadoopConfSer = new HadoopConfSer(new org.apache.hadoop.conf.Configuration()))
   extends Serializable {
   def P: Int = paths.length
-  def shardOf(h: Long): Int = (((h % P) + P) % P).toInt
+  def shardOf(h: Long): Int = SeenSet.shardOf(h, P)
 
   /** No false negatives: a null path means the shard has never been
     * written (nothing inserted) ⇒ definitely not contained. */
@@ -140,6 +140,12 @@ case class BloomMightContain(child: Expression, reader: BloomShardReader)
 
 object SeenSet {
 
+  /** THE shard layout: pmod(url_hash, P). One definition shared by the
+    * probe (BloomShardReader.shardOf), the build, and the retire paths —
+    * and mirrored by the engine's pmod(url_hash, partitions) repartition
+    * column — so probe and build can never silently de-align. */
+  def shardOf(h: Long, P: Int): Int = (((h % P) + P) % P).toInt
+
   /** Build/merge per-shard blooms on the executors. Each group task owns
     * one shard id, folds that shard's new hashes into the previous
     * round's file (if any) and writes the next round's file atomically
@@ -161,7 +167,7 @@ object SeenSet {
     require(prevPaths.length == P, s"shard count changed: ${prevPaths.length} != $P")
     val bcPrev = spark.sparkContext.broadcast(prevPaths)
     val updated = hashes.select(col("url_hash")).as[Long]
-      .groupByKey(h => (((h % P) + P) % P).toInt)
+      .groupByKey(h => SeenSet.shardOf(h, P))
       .mapGroups { (pid, it) =>
         val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
         val prevPath = bcPrev.value(pid)
@@ -213,7 +219,7 @@ object SeenSet {
     require(prevPaths.length == P, s"shard count changed: ${prevPaths.length} != $P")
     val bcPrev = spark.sparkContext.broadcast(prevPaths)
     val updated = hashes.select(col("url_hash")).as[Long]
-      .groupByKey(h => (((h % P) + P) % P).toInt)
+      .groupByKey(h => SeenSet.shardOf(h, P))
       .mapGroups { (pid, it) =>
         val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
         val prevPath = bcPrev.value(pid)

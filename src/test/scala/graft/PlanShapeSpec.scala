@@ -54,22 +54,49 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(host") && p.contains("__salt"), p)
   }
 
-  test("GlobalOrder assigns seq without a single-partition window") {
-    val fx = CorpusGen.ensure(spark, CorpusGen.Smoke)
-    val df = GlobalOrder.withSeq(
-      CorpusGen.hosting(spark, fx).select("url_canon", "host", "page_hash"),
-      Seq(col("host"), col("page_hash")), "seq")
-    val p = plan(df)
-    // ONE range exchange over the data, shared by the rank branch and the
-    // P-row offsets branch (exchange reuse keeps the boundaries
-    // consistent); the only Window is over the tiny per-partition counts
-    assert(p.contains("rangepartitioning("), s"expected range exchange:\n$p")
+  test("GlobalOrder assigns seq without a single-partition window, off ONE pinned exchange") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // synthetic input with a test-unique literal: the one-shot withSeq
+    // (q06) leaves its RESULT cached by design, and an identical logical
+    // plan here would be wholesale-substituted by the CacheManager,
+    // hiding the structure under test
+    val base = spark.range(0, 4096, 1, 8)
+      .select((col("id") % 131).as("host"), (col("id") + 777001).as("page_hash"))
+    // AQE's AdaptiveSparkPlan wrapper hides children from collect();
+    // plan-shape inspection needs the static plan (the engine suspends
+    // AQE in the crawl loop anyway)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, cleanup, exec) =
+      try {
+        val (d, c) = GlobalOrder.withSeqCached(
+          base, Seq(col("host"), col("page_hash")), "seq")
+        (d, c, d.queryExecution.executedPlan) // plan while AQE is off
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val p = exec.toString
+    // the range exchange lives INSIDE the pinned cache: the executed plan
+    // has NO range exchange of its own, and both the rank branch and the
+    // P-row offsets branch scan the SAME InMemoryRelation. (Round 2
+    // relied on ReuseExchange deduping two identical-looking exchanges;
+    // per-branch pruning made them physically different and each ran its
+    // own RangePartitioner — sampled boundaries can then disagree and the
+    // offsets no longer describe the rank branch's layout.)
+    val topLevelRangeExchanges = exec.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning.toString.contains("range") => s
+    }
+    assert(topLevelRangeExchanges.isEmpty,
+      s"range exchange must be pinned inside the cache, not re-executed:\n$p")
+    val cacheScans = exec.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder }
+    assert(cacheScans.size == 2, s"rank + offsets branches must scan the pinned cache:\n$p")
+    assert(cacheScans.distinct.size == 1, s"both branches must share ONE cached layout:\n$p")
     assert(!p.contains("Scan ExistingRDD"), s"no RDD scan expected:\n$p")
     // the only window is the cumulative sum over the tiny per-partition
     // COUNTS (≤P rows); no ranking window ever touches the data rows
     val dataWindows = p.linesIterator.count(l =>
       l.contains("Window") && l.contains("row_number"))
     assert(dataWindows == 0, s"no row_number window over the data expected:\n$p")
+    cleanup()
   }
 
   test("GlobalOrder seq equals a naive single-partition row_number") {
@@ -83,6 +110,32 @@ class PlanShapeSpec extends SparkTestBase {
         row_number().over(Window.orderBy(col("host"), col("page_hash"))).cast("long"))
       .select("url_canon", "seq").as[(String, Long)].collect().toMap
     assert(fast == naive)
+    fast // keep the map referenced (clarity)
+    spark.catalog.clearCache() // release the one-shot withSeq result cache
+  }
+
+  test("GlobalOrder seq is exact above the range sampler's reservoir (boundary-divergence regression)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // At smoke scale every input partition fits in the RangePartitioner's
+    // per-partition sample reservoir, so ANY two exchanges over the same
+    // input compute identical boundaries and the round-2 two-exchange bug
+    // was invisible. 60k skewed keys over 8 input partitions (thousands
+    // of rows each) force genuine reservoir sampling — under the old
+    // unpinned plan the rank and offsets branches could then draw
+    // different boundary sets and corrupt seq; with the pinned layout the
+    // ranks must match the naive total order exactly.
+    val n = 60000
+    val base = spark.range(0, n, 1, 8)
+      .select((col("id") % 997).as("host"), col("id").as("page_hash"))
+    val (fast0, cleanup) = GlobalOrder.withSeqCached(
+      base, Seq(col("host"), col("page_hash")), "seq")
+    val fast = fast0.select("page_hash", "seq").as[(Long, Long)].collect().toMap
+    cleanup()
+    val naive = base.withColumn("seq",
+        row_number().over(Window.orderBy(col("host"), col("page_hash"))).cast("long"))
+      .select("page_hash", "seq").as[(Long, Long)].collect().toMap
+    assert(fast.size == n && fast == naive)
   }
 
   test("exact seen anti-join: bucketed base side needs no exchange") {
