@@ -112,6 +112,18 @@ object GoldenOracles {
         (id, v)
       }.sortBy(_._1)
 
+  // ---- q28: exact brute-force cosine top-k -----------------------------
+  // Golden (not DuckDB) for the same reason as q29/q35: the rank orders
+  // by the UNROUNDED cosine, and two engines' independent float folds can
+  // differ by an ulp and swap tie-adjacent neighbors (round-3 review).
+  // This plain-Scala ascending fold is bit-identical to the engine's
+  // codegen CosineSim by construction (VectorExprSpec pins the kernels).
+
+  def cosineTopK(emb: Array[(Long, Array[Double])], k: Int = 5): Seq[AnnRow] =
+    emb.collect { case (qid, qv) if qid % 40 == 0 =>
+      topK(qid, qv, emb.iterator.filter(_._1 != qid).toSeq, k)
+    }.flatten.toSeq
+
   // ---- q29: multi-table random-hyperplane LSH ANN ---------------------
 
   def annLsh(emb: Array[(Long, Array[Double])], tables: Int = 4, bits: Int = 4,
@@ -234,6 +246,8 @@ object GoldenOracles {
     fetchRows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q09_crawl.parquet")
 
     val emb = loadEmbeddings(spark, sfDir)
+    cosineTopK(emb).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/q28_cosine_topk.parquet")
     annLsh(emb).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q29_ann_lsh.parquet")
     annIvf(emb).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q35_ann_ivf.parquet")
     embedNearDup(emb).toDF().coalesce(1).write.mode("overwrite")

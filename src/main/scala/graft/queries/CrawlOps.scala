@@ -17,9 +17,10 @@ object CrawlOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Correctness-tier fixture dir, hardcoded in oracle SQL (Verify runs
-    * only at sf0.01). */
-  private val FX = "/root/repo/target/fixtures/sf0.01"
+  /** Correctness-tier fixture dir, embedded in oracle SQL (Verify runs
+    * only at sf0.01); derived from CorpusGen so a FixtureRoot/tier-name
+    * change cannot silently point the oracles at a stale directory. */
+  private val FX = CorpusGen.dirFor(CorpusGen.Correctness)
 
   private def fx(s: SparkSession, dir: String): String = CorpusGen.ensureFor(s, dir)
 
@@ -228,11 +229,15 @@ object CrawlOps {
          |GROUP BY host ORDER BY host""".stripMargin,
 
     "q04_robots_filter" ->
+      // prefix-match against the PATH ONLY (query stripped) — the engine's
+      // pinned robots semantics (path_of cuts at the first '?'); without
+      // the inner query-strip the oracle silently matches prefixes against
+      // path+query and diverges on any corpus with query strings
       s"""SELECT url_canon FROM read_parquet('$FX/hosting.parquet/*.parquet') h
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM read_parquet('$FX/robots.parquet/*.parquet') r
          |  WHERE r.host = h.host AND NOT r.allow
-         |    AND starts_with(regexp_replace(h.url_canon, '^[a-z]+://[^/]+', ''), r.path_prefix))
+         |    AND starts_with(regexp_replace(regexp_replace(h.url_canon, '^[a-z]+://[^/]+', ''), '\\?.*', ''), r.path_prefix))
          |ORDER BY url_canon""".stripMargin,
 
     "q05_politeness" ->

@@ -223,16 +223,15 @@ object VectorOps {
          |FROM read_parquet('$GOLD/q36_embed_neardup.parquet/*.parquet')
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // golden (GoldenOracles.cosineTopK), not DuckDB: the rank orders by
+    // the UNROUNDED cosine, and list_cosine_similarity's fold can differ
+    // from the engine's by an ulp, swapping tie-adjacent neighbors —
+    // the same cross-engine float-ordering hazard that moved q29/q35/q36
+    // to golden fixtures (round-3 review)
     "q28_cosine_topk" ->
-      """SELECT query_id, rank, neighbor_id, cos4 FROM (
-        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
-        |             e.vec_id ASC) AS INT) AS rank,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos4
-        | FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        | WHERE q.vec_id % 40 = 0)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""SELECT query_id, rank, neighbor_id, cos4
+         |FROM read_parquet('$GOLD/q28_cosine_topk.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q34_embedding_stats" ->
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -8,41 +8,50 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch-iterative crawl is the reference semantics, but when link
   * discoveries arrive as an unbounded stream the same operators map to:
   *
-  *  - seen-set dedup → `flatMapGroupsWithState` keyed by
-  *    `pmod(url_hash, P)` shard, each shard holding its exact hash set
-  *    (the streaming twin of SeenSet's bloom+exact tiers);
+  *  - seen-set dedup → `flatMapGroupsWithState` keyed by `url_hash`,
+  *    one tiny state entry per URL (the streaming twin of SeenSet's
+  *    exact tier);
   *  - fetch-rate metrics → watermarked sliding-window counts per host.
   *
   * Used with MemoryStream in tests and file streams in production; at
-  * cluster scale state lives in the state store (RocksDB provider),
-  * partitioned by the same shard key as the batch engine.
+  * cluster scale state lives in the state store (RocksDB provider).
   */
 object FrontierStream {
 
   final case class Discovery(url_canon: String, url_hash: Long, host: String,
     depth: Int, event_ts: java.sql.Timestamp)
-  final case class ShardState(hashes: Set[Long])
+  final case class SeenMark(depth: Int)
   final case class NewUrl(url_canon: String, url_hash: Long, host: String, depth: Int)
 
   /** Streaming seen-set dedup: emits each url_hash exactly once across
-    * the whole stream (first occurrence wins, per-shard state). */
+    * the whole stream (first occurrence wins; ties within a micro-batch
+    * break by min depth for determinism).
+    *
+    * State is keyed by `url_hash` — one small entry per URL — NOT by a
+    * coarse shard holding its whole hash set in one value (the round-1–3
+    * shape): a single-blob-per-shard state is deserialized, grown and
+    * reserialized WHOLESALE every micro-batch that touches the shard,
+    * O(|seen|/P) per trigger even for one new URL, and with the RocksDB
+    * provider the blob is still one value — an OOM/latency cliff at the
+    * 10^7+-URL scale this module claims (round-3 review). Per-key state
+    * is what the state store is built to scale: point lookups/puts,
+    * incremental checkpoints. `shards` is kept for API compatibility and
+    * the state-store partition count is Spark's shuffle partitioning of
+    * the url_hash key — the same pmod co-location idea, handled by the
+    * framework. */
   def dedupStream(spark: SparkSession, discoveries: Dataset[Discovery], shards: Int): Dataset[NewUrl] = {
     import spark.implicits._
     discoveries
-      .groupByKey(d => (((d.url_hash % shards) + shards) % shards).toInt)
-      .flatMapGroupsWithState[ShardState, NewUrl](
+      .groupByKey(_.url_hash)
+      .flatMapGroupsWithState[SeenMark, NewUrl](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Int, rows: Iterator[Discovery], state: GroupState[ShardState]) =>
-          var seen = state.getOption.map(_.hashes).getOrElse(Set.empty[Long])
-          val out = scala.collection.mutable.ArrayBuffer.empty[NewUrl]
-          rows.foreach { d =>
-            if (!seen.contains(d.url_hash)) {
-              seen += d.url_hash
-              out += NewUrl(d.url_canon, d.url_hash, d.host, d.depth)
-            }
+        (_: Long, rows: Iterator[Discovery], state: GroupState[SeenMark]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_.depth)
+            state.update(SeenMark(first.depth))
+            Iterator.single(NewUrl(first.url_canon, first.url_hash, first.host, first.depth))
           }
-          state.update(ShardState(seen))
-          out.iterator
       }
   }
 

@@ -14,11 +14,10 @@ object RobotsMatch {
     rules.foreach { case (allow, prefix) =>
       if (path.startsWith(prefix)) {
         val len = prefix.length
+        // longest prefix wins; allow wins length ties [PINNED]
         if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
           bestLen = len
           bestAllow = allow
-        } else if (len == bestLen && allow) {
-          bestAllow = true
         }
       }
     }

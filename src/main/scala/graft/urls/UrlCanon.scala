@@ -233,7 +233,7 @@ object UrlCanon {
     var path = r.path
     var query = r.query
 
-    if (scheme == null || (authority == null && scheme == null)) {
+    if (scheme == null) {
       // relative reference — need a base
       if (base == null) return null
       val b = parse(base)
@@ -261,7 +261,13 @@ object UrlCanon {
     if (scheme != "http" && scheme != "https") return null
     val normAuth = normAuthority(authority, scheme)
     if (normAuth == null) return null
-    val normPath = normalizePercent(path)
+    // decode-then-remove (RFC 3986 §6.2.2): percent-decoding unreserved
+    // octets can SURFACE dot segments ("%2e%2e" → ".."), so dot-segment
+    // removal must run again on the decoded path or the output is not a
+    // fixed point of canonicalization ("/%2e%2e/p" → "/../p" which would
+    // re-canonicalize to "/p" and hash differently — round-3 review).
+    // For %2e-free paths the second pass is a no-op.
+    val normPath = removeDotSegments(normalizePercent(path))
     val normQuery = if (query == null) null else normalizePercent(query)
     recompose(scheme, normAuth, normPath, normQuery)
   }

@@ -66,6 +66,20 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(UrlCanon.canonicalize("http://example.com") == "http://example.com/")
     assert(UrlCanon.canonicalize("http://example.com?q=1") == "http://example.com/?q=1")
     assert(UrlCanon.canonicalize("http://example.com/x?") == "http://example.com/x")
+    // %2e-encoded dot segments: decoding surfaces them, so dot-segment
+    // removal must run on the DECODED path (§6.2.2 decode-then-remove;
+    // round-3 review — the old order emitted the non-fixed-point
+    // "http://h/../p"). Idempotence asserted explicitly on each.
+    Seq(
+      "http://example.com/%2e%2e/p" -> "http://example.com/p",
+      "http://example.com/a/%2e%2e/p" -> "http://example.com/p",
+      "http://example.com/a/%2E/p" -> "http://example.com/a/p",
+      "http://example.com/a/b/%2e%2e" -> "http://example.com/a/",
+      "http://example.com/%2e" -> "http://example.com/").foreach { case (u, want) =>
+      val c = UrlCanon.canonicalize(u)
+      assert(c == want, s"$u -> $c, want $want")
+      assert(UrlCanon.canonicalize(c) == c, s"not a fixed point: $u -> $c")
+    }
   }
 
   test("invalid / non-http(s) rejected") {
