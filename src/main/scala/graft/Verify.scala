@@ -19,9 +19,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // golden fixtures for the non-SQL-expressible queries (q09/q29/q35):
     // independent sequential-model output the DuckDB oracle reads back
+    // writeAll wipes the golden dir first, so a failure here leaves NO
+    // stale fixtures — the golden-backed queries then fail loudly in the
+    // DuckDB gate (missing parquet) instead of comparing against last
+    // run's output (review finding); the other queries still validate
     try graft.oracle.GoldenOracles.writeAll(spark, sfDir)
     catch { case e: Throwable =>
-      System.err.println(s"[verify] golden-oracle generation failed: ${e.getMessage}")
+      System.err.println(s"[verify] golden-oracle generation failed " +
+        s"(golden-backed queries will be red, not stale): ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

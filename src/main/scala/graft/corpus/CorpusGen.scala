@@ -32,7 +32,7 @@ object CorpusGen {
   val Bench = Tier("sf0.1", 500000, 2000, 100)
 
   /** Bump when generation logic changes — stale fixtures regenerate. */
-  private val GenVersion = "v2-pure-index"
+  private val GenVersion = "v3-strictmath-zipf"
 
   def tierFor(sfDir: String): Tier =
     Paths.get(sfDir).getFileName.toString match {
@@ -86,7 +86,11 @@ object CorpusGen {
       val cdf = new Array[Double](n)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += 1.0 / math.pow(i + 1, 1.2); cdf(i) = acc; i += 1 }
+      // StrictMath, not Math: Math.pow is JVM-intrinsic with 1-ulp
+      // latitude, and this table decides every page's host — executors
+      // on a different JVM build than the driver (or fixtures reused
+      // across machines) must compute the identical corpus (review)
+      while (i < n) { acc += 1.0 / StrictMath.pow(i + 1.0, 1.2); cdf(i) = acc; i += 1 }
       i = 0
       while (i < n) { cdf(i) /= acc; i += 1 }
       cdf

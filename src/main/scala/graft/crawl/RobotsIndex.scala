@@ -96,11 +96,11 @@ final class RobotsIndex(rulesByHost: Map[String, Array[(Boolean, String)]]) exte
         } else false
       if (matches) {
         val allow = rule._1
+        // longest prefix wins; allow wins length ties [PINNED] —
+        // line-for-line mirror of RobotsMatch.allows
         if (plen > bestLen || (plen == bestLen && allow && !bestAllow)) {
           bestLen = plen
           bestAllow = allow
-        } else if (plen == bestLen && allow) {
-          bestAllow = true
         }
       }
       r += 1

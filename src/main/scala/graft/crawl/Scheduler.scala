@@ -82,17 +82,31 @@ object Scheduler {
              broadcastMeta: Boolean = true): DataFrame = {
     val saltCol = shiftright(col("url_hash"), 56) // signed ⇒ monotonic in url_hash
     val wFine = Window.partitionBy("host", "depth", "__salt").orderBy(col("url_hash"))
-    val fine = withMeta(df, hostMeta, defaultDelayMs, broadcastMeta)
+    // NO row-level meta join on the frontier side (review finding): a
+    // shuffle join keyed on bare host puts the Zipf-hot host's entire
+    // frontier in ONE join task — exactly the skew this path exists to
+    // prevent — and exploding meta ×256 to salt that join multiplies an
+    // O(#hosts) table. Instead delay/ready ride the OFFSETS table, which
+    // is already aggregated to ≤ maxDepth × 256 rows per host (skew-free
+    // by construction) and already joins back on the salted key trio.
+    // Bonus for both modes: the frontier's rank shuffle no longer
+    // carries the meta columns.
+    val fine = df
       .withColumn("__salt", saltCol)
       .withColumn("__rnd", row_number().over(wFine))
     // cumulative offsets over the (depth, salt) groups of each host
     // (≤ maxDepth × 256 rows per host — trivially balanced)
     val wOfs = Window.partitionBy("host").orderBy("depth", "__salt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val metaSel = hostMeta.select(col("host"), col("delay_ms"), col("ready_ts"))
     val offsets = df
       .groupBy(col("host"), col("depth"), saltCol.as("__salt")).count()
       .withColumn("__offset", coalesce(sum("count").over(wOfs), lit(0L)))
-      .select(col("host"), col("depth"), col("__salt"), col("__offset"))
+      .join(if (broadcastMeta) broadcast(metaSel) else metaSel, Seq("host"), "left")
+      .withColumn("__delay", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("__ready", coalesce(col("ready_ts"), lit(0L)))
+      .select(col("host"), col("depth"), col("__salt"), col("__offset"),
+        col("__delay"), col("__ready"))
     finish(
       fine.join(offsets, Seq("host", "depth", "__salt"))
         .withColumn("rn", (col("__offset") + col("__rnd")).cast("int"))

@@ -160,11 +160,15 @@ final class SnapshotStore(val root: String,
     mapper.writeValueAsString(node)
   }
 
-  /** Live seen-set parquet paths as of the last committed round. */
+  /** Live seen-set parquet paths as of the last committed round. Like
+    * livePartitions, tolerates manifests missing the field (pre-round-2
+    * format) so the engine's own require() diagnostics stay reachable
+    * instead of a bare NoSuchElementException (review finding). */
   def liveSeenPaths(): Seq[String] =
-    readManifest().lastOption.map(
-      _("seen_paths").asInstanceOf[java.util.List[String]]
-        .asScala.toSeq).getOrElse(Seq.empty)
+    readManifest().lastOption
+      .flatMap(e => Option(e.getOrElse("seen_paths", null)))
+      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+      .getOrElse(Seq.empty)
 
   /** Partition/shard count the snapshot was written with (0 = unknown,
     * pre-round-2 manifests). */
@@ -176,7 +180,8 @@ final class SnapshotStore(val root: String,
   /** Per-shard bloom file paths as of the last committed round (null
     * entries = never-written shards); empty when blooms are disabled. */
   def liveBloomPaths(): Array[String] =
-    readManifest().lastOption.map(
-      _("bloom_paths").asInstanceOf[java.util.List[String]]
-        .asScala.toArray).getOrElse(Array.empty[String])
+    readManifest().lastOption
+      .flatMap(e => Option(e.getOrElse("bloom_paths", null)))
+      .map(_.asInstanceOf[java.util.List[String]].asScala.toArray)
+      .getOrElse(Array.empty[String])
 }

@@ -103,14 +103,23 @@ object GoldenOracles {
       .zipWithIndex
       .map { case ((id, c), i) => AnnRow(queryId, i + 1, id, round4(c)) }
 
-  private def loadEmbeddings(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def loadEmbeddings(spark: SparkSession, sfDir: String): Array[(Long, Array[Double])] = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray.map(_.toDouble)
         (id, v)
       }.sortBy(_._1)
+    // pinned precondition: a zero-norm vector makes every cosine NaN,
+    // and Spark's desc window ranks NaN FIRST while this oracle's
+    // ascending sort on -c ranks it last — the two "correct" orderings
+    // silently diverge. Fail loud instead (review finding).
+    emb.foreach { case (id, v) =>
+      require(v.exists(_ != 0.0), s"zero-norm embedding vec_id=$id: cosine undefined")
+    }
+    emb
+  }
 
   // ---- q28: exact brute-force cosine top-k -----------------------------
   // Golden (not DuckDB) for the same reason as q29/q35: the rank orders
@@ -134,12 +143,11 @@ object GoldenOracles {
     val sigs: Map[Long, Array[Long]] = emb.map { case (id, v) =>
       id -> Array.tabulate(tables)(t => rhpSigW(v, w, t * bits, bits))
     }.toMap
-    val byId = emb.toMap
     emb.collect { case (qid, qv) if qid % 40 == 0 =>
       val qsig = sigs(qid)
       val cands = emb.iterator.collect {
         case (id, v) if id != qid && (0 until tables).exists(t => sigs(id)(t) == qsig(t)) =>
-          (id, byId(id))
+          (id, v)
       }.toSeq
       topK(qid, qv, cands, k)
     }.flatten.toSeq
@@ -208,22 +216,46 @@ object GoldenOracles {
     sigs.foreach(sa => (0 until tables).foreach { t =>
       val k = (t, sa(t)); bucketSize(k) = bucketSize.getOrElse(k, 0) + 1
     })
-    val out = Seq.newBuilder[NearDupRow]
-    var i = 0
-    while (i < aug.length) {
-      var k = i + 1
-      while (k < aug.length) {
-        val (ia, va) = aug(i); val (ib, vb) = aug(k)
-        val (a, b, xa, xb) = if (ia < ib) (ia, ib, va, vb) else (ib, ia, vb, va)
-        val collide = (0 until tables).exists(t =>
-          sigs(i)(t) == sigs(k)(t) && bucketSize((t, sigs(i)(t))) <= bucketCap)
-        if (collide) {
-          val c = cosine(xa, xb)
-          if (c >= thresh) out += NearDupRow(a, b, round4(c))
-        }
-        k += 1
+    // bucket-grouped candidate generation, NOT an all-pairs scan: the
+    // old O(|aug|²) double loop re-tested every pair against every table
+    // (~1.6e11 iterations if ever pointed at the bench tier — review
+    // finding). Grouping indices per kept (t, sig) bucket visits only
+    // within-bucket pairs (each bucket ≤ bucketCap), then pairs are
+    // sorted into the old (i, k) emission order so the fixture bytes are
+    // unchanged (the determinism test pins this).
+    val byBucket = scala.collection.mutable.Map.empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    var bi = 0
+    while (bi < sigs.length) {
+      var t = 0
+      while (t < tables) {
+        val k = (t, sigs(bi)(t))
+        if (bucketSize(k) <= bucketCap)
+          byBucket.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += bi
+        t += 1
       }
-      i += 1
+      bi += 1
+    }
+    val n = aug.length.toLong
+    val candPairs = scala.collection.mutable.HashSet.empty[Long] // i * n + k, i < k
+    byBucket.valuesIterator.foreach { idxs =>
+      var x = 0
+      while (x < idxs.length) {
+        var y = x + 1
+        while (y < idxs.length) {
+          val i = math.min(idxs(x), idxs(y)); val k = math.max(idxs(x), idxs(y))
+          candPairs += i * n + k
+          y += 1
+        }
+        x += 1
+      }
+    }
+    val out = Seq.newBuilder[NearDupRow]
+    candPairs.toArray.sorted.foreach { enc =>
+      val i = (enc / n).toInt; val k = (enc % n).toInt
+      val (ia, va) = aug(i); val (ib, vb) = aug(k)
+      val (a, b, xa, xb) = if (ia < ib) (ia, ib, va, vb) else (ib, ia, vb, va)
+      val c = cosine(xa, xb)
+      if (c >= thresh) out += NearDupRow(a, b, round4(c))
     }
     out.result()
   }
@@ -233,6 +265,17 @@ object GoldenOracles {
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     val tier = CorpusGen.tierFor(sfDir)
     val dir = dirFor(tier)
+    // wipe-then-write: a failed or interrupted regeneration must never
+    // leave LAST run's fixtures where the DuckDB gate would silently
+    // treat them as truth (stale-formula false green / false red —
+    // review finding). After the wipe, a partial write yields loud
+    // missing-file errors for exactly the unwritten queries.
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     import spark.implicits._
 
     // q09: the sequential crawl model (CrawlOracle) with the exact config
