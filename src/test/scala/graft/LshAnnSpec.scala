@@ -43,6 +43,23 @@ class LshAnnSpec extends SparkTestBase {
       s"too many LSH neighbors outside exact top-20: ${rogue.take(5)}")
   }
 
+  test("q28 engine output equals the golden brute-force oracle exactly") {
+    // q28 moved from a DuckDB oracle to golden parquet (round-3 review:
+    // ranking by an unrounded cross-engine float can swap tie-adjacent
+    // neighbors); pin engine ≡ golden locally, not just in the driver gate
+    val got = SparkEntry.queries("q28_cosine_topk")(spark, dir)
+      .select("query_id", "rank", "neighbor_id", "cos4")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val want = graft.oracle.GoldenOracles.cosineTopK(emb)
+      .map(a => (a.query_id, a.rank, a.neighbor_id, a.cos4))
+      .sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
   test("IVF ANN (q35) returns candidates with measurable recall vs brute force") {
     val exact = SparkEntry.queries("q28_cosine_topk")(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
