@@ -31,9 +31,10 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       // no-leaked-cache gate: a query that persists without unpersisting
@@ -42,26 +43,36 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name leaked cached data — clearing")
         spark.catalog.clearCache()
       }
-      name -> sec
+      (name, sec, ok)
     }
+    // a failed query must be VISIBLE in the contract JSON, not recorded
+    // as a fast success (a crash at 0.1 s would otherwise read as a
+    // better total and a stale-manifest-inflated headline — review
+    // finding): failed queries report -1 and are listed in "failed"
+    val failed = results.collect { case (n, _, false) => n }
 
     // crawl throughput from the q09 snapshot manifest
     val tier = CorpusGen.tierFor(sfDir)
     val store = new SnapshotStore(s"target/crawl-run/${tier.name}")
     val manifest = store.readManifest()
-    def metric(e: Map[String, Any], k: String): Double =
-      e("metrics").asInstanceOf[java.util.Map[String, Any]]
-        .getOrDefault(k, 0.0).asInstanceOf[Number].doubleValue()
-    val fetched = manifest.lastOption.map(metric(_, "fetched_total")).getOrElse(0.0)
-    val candidates = manifest.map(metric(_, "candidates")).sum
-    val crawlSec = results.toMap.getOrElse("q09_crawl", Double.NaN)
-    val urlsPerSec = (fetched + candidates) / crawlSec
+    val fetched = manifest.lastOption.map(store.metricOf(_, "fetched_total")).getOrElse(0.0)
+    val candidates = manifest.map(store.metricOf(_, "candidates")).sum
+    val q09ok = results.exists { case (n, _, ok) => n == "q09_crawl" && ok }
+    // -1 sentinels, not NaN: a bare NaN is invalid JSON and would make
+    // the driver's parse reject the whole line
+    val crawlSec =
+      if (q09ok) results.collectFirst { case ("q09_crawl", s, _) => s }.get
+      else -1.0 // never divide by a time-to-failure over a stale manifest
+    val urlsPerSec = if (q09ok) (fetched + candidates) / crawlSec else -1.0
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, ok) => s""""$k":${if (ok) v else -1}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"crawl_fetched":$fetched,"crawl_dedup_candidates":$candidates,""" +
+        s""""cpus":$cpus,"failed":$failedJson,"crawl_fetched":$fetched,""" +
+        s""""crawl_dedup_candidates":$candidates,""" +
         s""""crawl_sec":$crawlSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}"""
     // belt-and-braces for the driver's parser: the JSON goes to stdout as
     // the last line AND to a file (round 1 lost the line to sbt logging)

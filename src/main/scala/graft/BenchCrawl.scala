@@ -39,9 +39,7 @@ object BenchCrawl {
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val manifest = engine.store.readManifest()
-    def m(e: Map[String, Any], k: String): Double =
-      e("metrics").asInstanceOf[java.util.Map[String, Any]]
-        .getOrDefault(k, 0.0).asInstanceOf[Number].doubleValue()
+    def m(e: Map[String, Any], k: String): Double = engine.store.metricOf(e, k)
     val fetched = manifest.lastOption.map(m(_, "fetched_total")).getOrElse(0.0)
     val candidates = manifest.map(m(_, "candidates")).sum
     val bulk = manifest.filter(e => m(e, "scheduled") >= fetched * 0.02)

@@ -22,17 +22,27 @@ object CrawlMain {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val snapDir = args.lift(1).getOrElse("target/crawl-main")
     val mode = args.lift(2).getOrElse("fresh")
+    // an unknown mode must NOT fall through to the fresh path: runFresh
+    // wipes the snapshot dir, so a typo'd "resume" would silently delete
+    // a multi-hour crawl's committed rounds (review finding)
+    require(mode == "fresh" || mode == "resume",
+      s"unknown mode '$mode' — expected 'fresh' or 'resume'")
 
     val builder = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-    // under spark-submit, master comes from the launcher; default local
-    if (!sys.props.contains("spark.master") && sys.env.get("MASTER").isEmpty)
-      builder.master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
-        .config("spark.sql.shuffle.partitions",
-          math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-        .config("spark.ui.enabled", "false")
+    // under spark-submit, master comes from the launcher; MASTER env is
+    // honored for standalone java -cp launches; default local otherwise
+    if (!sys.props.contains("spark.master"))
+      sys.env.get("MASTER") match {
+        case Some(m) => builder.master(m)
+        case None =>
+          builder.master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
+            .config("spark.sql.shuffle.partitions",
+              math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+            .config("spark.ui.enabled", "false")
+      }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -160,6 +160,13 @@ final class SnapshotStore(val root: String,
     mapper.writeValueAsString(node)
   }
 
+  /** Typed metric accessor for a manifest entry — the ONE place that
+    * knows the metrics map's JSON shape (Bench and BenchCrawl used to
+    * carry verbatim copies of this cast chain). */
+  def metricOf(entry: Map[String, Any], key: String): Double =
+    entry("metrics").asInstanceOf[java.util.Map[String, Any]]
+      .getOrDefault(key, 0.0.asInstanceOf[AnyRef]).asInstanceOf[Number].doubleValue()
+
   /** Live seen-set parquet paths as of the last committed round. Like
     * livePartitions, tolerates manifests missing the field (pre-round-2
     * format) so the engine's own require() diagnostics stay reachable
