@@ -32,7 +32,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          // a query may return a persisted frame (ownership transfers to
+          // the caller — see QueriesSpec's leak contract); release it
+          df.unpersist(false)
+          true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -67,7 +74,11 @@ object Bench {
 
     val qs = results.map { case (k, v, ok) => s""""$k":${if (ok) v else -1}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a crashed query's elapsed-to-crash must not inflate the headline
+    // (a driver reading only metric/value would see a crash as a BETTER
+    // total): any failure makes the headline the -1 sentinel, consistent
+    // with crawl_sec/urls_per_sec (review finding)
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

@@ -93,7 +93,10 @@ object BenchFrontier {
     val fx = CorpusGen.ensureFor(spark, sfDir)
 
     // ---- untimed input preparation ("the web" + the frontier + seen) ----
-    val prepRoot = s"$fx/frontierx-v$variants-b$buckets"
+    // CorpusGen.GenVersion in the path — same staleness rule as the
+    // engine's bucketedInput: a generator bump regenerates only the base
+    // parquet, so derived tables must version their own location
+    val prepRoot = s"$fx/frontierx-${CorpusGen.GenVersion}-v$variants-b$buckets"
     val hostingX = bucketedTable(spark, s"$prepRoot/hosting", "hostingx",
       "page_hash", buckets,
       "url_canon STRING, host STRING, doc_id STRING, status STRING, page_hash BIGINT") {

@@ -31,9 +31,13 @@ object Verify {
         s"(golden-backed queries will be red, not stale): ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // a query may return a persisted frame (ownership transfers to
+        // the caller — see QueriesSpec's leak contract); release it
+        df.unpersist(false)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries must not leak cached data into each other (see Bench)

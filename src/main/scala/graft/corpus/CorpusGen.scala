@@ -31,8 +31,14 @@ object CorpusGen {
   val Correctness = Tier("sf0.01", 5000, 200, 20)
   val Bench = Tier("sf0.1", 500000, 2000, 100)
 
-  /** Bump when generation logic changes — stale fixtures regenerate. */
-  private val GenVersion = "v3-strictmath-zipf"
+  /** Bump when generation logic changes — stale fixtures regenerate.
+    * PUBLIC because every DERIVED layout built from these tables (the
+    * engine's bucketed hosting/docs copies, BenchFrontier's ×variants
+    * tables) must embed it in its path: ensure() regenerates only the
+    * base parquet on a version bump, so an unversioned derived path
+    * would silently keep serving bucketed copies of the OLD corpus
+    * (review finding). */
+  val GenVersion = "v3-strictmath-zipf"
 
   def tierFor(sfDir: String): Tier =
     Paths.get(sfDir).getFileName.toString match {

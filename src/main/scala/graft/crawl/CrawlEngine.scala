@@ -90,7 +90,10 @@ final class CrawlEngine(
     * the explicit DDL. */
   private def bucketedInput(name: String, src: => DataFrame, key: String,
                             ddl: String): DataFrame = {
-    val loc = s"$fixtureDir/bucketed-p${cfg.partitions}/$name"
+    // GenVersion in the path: CorpusGen.ensure regenerates only the base
+    // parquet on a generator bump — an unversioned bucketed copy would
+    // silently keep joining against the OLD corpus (review finding)
+    val loc = s"$fixtureDir/bucketed-${CorpusGen.GenVersion}-p${cfg.partitions}/$name"
     val tbl = s"graft_${name}_${java.lang.Integer.toHexString(loc.hashCode)}"
     val marker = s"$loc/_BUCKETED_DONE"
     if (!store.exists(marker)) {
@@ -210,25 +213,34 @@ final class CrawlEngine(
       .filter(col("host") =!= host)
       .coalesce(cfg.snapshotWriteFiles)
       .write.mode("overwrite").parquet(store.hostReadyPath(next))
-    val bloomPaths: Array[String] =
-      if (!cfg.useBloom) Array.empty
+    val (bloomPaths, rebuildLineage): (Array[String], Option[Seq[Long]]) =
+      if (!cfg.useBloom) (Array.empty[String], None)
+      else if (cfg.seenFilter == "cuckoo")
+        (SeenSet.retireFromShards(spark, retired,
+          new BloomShardReader(store.liveBloomPaths(), store.confSer),
+          store.bloomsDir(next), cfg.partitions), None)
       else {
-        if (cfg.seenFilter == "cuckoo")
-          SeenSet.retireFromShards(spark, retired,
-            new BloomShardReader(store.liveBloomPaths(), store.confSer),
-            store.bloomsDir(next), cfg.partitions)
-        else
-          SeenSet.buildShards(spark, spark.table(baseTableName).select("url_hash"),
-            None, store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity,
-            cfg.bloomFpp, cfg.seenFilter)._1
+        val (p, lin) = SeenSet.buildShards(spark,
+          spark.table(baseTableName).select("url_hash"),
+          None, store.bloomsDir(next), cfg.partitions, cfg.bloomShardCapacity,
+          cfg.bloomFpp, cfg.seenFilter)
+        (p, Some(lin))
       }
+    // per-partition lineage = the SURVIVING per-shard seen counts of the
+    // rewritten base (free from the bloom rebuild; counted on the cuckoo/
+    // no-bloom paths) — the round-3 form committed zeros while the shards
+    // still held the survivors, diverging from every other round's
+    // lineage contract (review finding)
+    val lineage = rebuildLineage.getOrElse(
+      bucketCounts(spark.table(baseTableName).select("url_hash")))
     retired.unpersist(false)
+    // metricOf getOrDefault's missing keys to 0.0 (a pre-round-2 manifest
+    // entry without fetched_total NPE'd the raw cast chain here)
     val fetchedTotal = store.readManifest().lastOption
-      .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
-        .get("fetched_total").asInstanceOf[Number].doubleValue()).getOrElse(0.0)
+      .map(store.metricOf(_, "fetched_total")).getOrElse(0.0)
     store.commit(store.entryJson(next, round,
       Map("frontier" -> frontierRows, "seen_delta" -> 0L, "fetchlog" -> 0L),
-      Seq.fill(cfg.partitions)(0L),
+      lineage,
       Map("fetched_total" -> fetchedTotal, "retired" -> retiredCount.toDouble),
       Seq(bp), bloomPaths.toSeq, cfg.partitions))
     retiredCount

@@ -83,8 +83,15 @@ object GlobalOrder {
 
   /** One-shot form: materializes the seq output, releases the layout
     * cache, and returns the (persisted) result — for callers without a
-    * round lifecycle. The returned frame stays cached; Bench/Verify's
-    * between-query cache gate (or the caller) releases it. */
+    * round lifecycle. The seq values must be pinned: recomputing after
+    * the layout cache is gone could draw different range boundaries
+    * (why a localCheckpoint won't do: its ExistingRDD scan violates the
+    * input_hint's no-RDD-in-plans contract, PlanShapeSpec). OWNERSHIP
+    * TRANSFERS to the caller: release the RETURNED frame itself with
+    * `unpersist()` once consumed. If you need transforms on top of the
+    * result, use [[withSeqCached]] and persist your own final frame
+    * instead (unpersist only releases an exact plan match — a wrapper
+    * frame's unpersist would miss this one; see CrawlOps q06). */
   def withSeq(df: DataFrame, sortCols: Seq[Column], seqCol: String, offset: Long = 0L): DataFrame = {
     val (out, cleanup) = withSeqCached(df, sortCols, seqCol, offset)
     val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -104,13 +104,19 @@ object CrawlOps {
         .orderBy("host", "rn")
     }),
 
-    // O1: scalable deterministic global sequencing (two-phase rank)
+    // O1: scalable deterministic global sequencing (two-phase rank).
+    // Lifecycle managed here (withSeqCached) so the RETURNED frame is the
+    // one persisted thing: the caller-side unpersist of the leak contract
+    // (QueriesSpec) releases it, and the internal pinned-layout cache is
+    // released before returning.
     "q06_global_order" -> ((s, dir) => {
-      GlobalOrder.withSeq(
-          CorpusGen.hosting(s, fx(s, dir)).select("url_canon", "host", "page_hash"),
-          Seq(col("host"), col("page_hash")), "seq")
-        .select("url_canon", "seq")
-        .orderBy("seq")
+      val (seqd, cleanup) = GlobalOrder.withSeqCached(
+        CorpusGen.hosting(s, fx(s, dir)).select("url_canon", "host", "page_hash"),
+        Seq(col("host"), col("page_hash")), "seq")
+      val out = seqd.select("url_canon", "seq").orderBy("seq").persist()
+      out.count() // pin the seq values while the layout cache is live
+      cleanup()
+      out
     }),
 
     // J1 exact tier: anti-join dedup against a synthetic seen set
@@ -133,8 +139,11 @@ object CrawlOps {
       val shardDir = s"target/q08-shards/${CorpusGen.tierFor(dir).name}"
       val (paths, _) = SeenSet.buildShards(s, seen, None, shardDir, 8, 200000L, 0.01)
       val (result, cleanup, _) = SeenSet.newUrls(s, hosting, Seq(seen), Some(new BloomShardReader(paths)))
-      // materialize, then release the probe-stage + seen caches (the
-      // cleanup thunk exists precisely so callers don't leak them)
+      // materialize, then release the INTERNAL probe-stage + seen caches;
+      // the returned frame stays persisted and ownership transfers to the
+      // caller (Bench/Verify/QueriesSpec unpersist it after consuming —
+      // the convention that keeps plans RDD-free while letting QueriesSpec
+      // fail RED on any internal cache a query forgets to release)
       val out = result.select("url_canon").orderBy("url_canon").persist()
       out.count()
       cleanup()

@@ -199,13 +199,23 @@ object TextOps {
         .select("doc_a", "doc_b").distinct()
       val wa = sigged.select(col("doc_id").as("doc_a"), col("wset").as("wset_a"))
       val wb = sigged.select(col("doc_id").as("doc_b"), col("wset").as("wset_b"))
-      pairs.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
+      val out = pairs.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
         .withColumn("jaccard", round(
           size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
             size(array_union(col("wset_a"), col("wset_b"))), 4))
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+        // materialize the (small) verified-pairs result while the
+        // signature cache is hot, then release the INTERNAL cache — the
+        // round-3 form returned with `sigged` still persisted, leaking
+        // one cached table per standalone call (review finding). The
+        // returned frame stays persisted; ownership transfers to the
+        // caller (Bench/Verify/QueriesSpec unpersist after consuming).
+        .persist()
+      out.count()
+      sigged.unpersist(false)
+      out
     }),
 
     // SimHash (32-bit, md5-derived word hashes, multiset weighting)

@@ -223,15 +223,23 @@ object VectorOps {
          |FROM read_parquet('$GOLD/q36_embed_neardup.parquet/*.parquet')
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // golden (GoldenOracles.cosineTopK), not DuckDB: the rank orders by
-    // the UNROUNDED cosine, and list_cosine_similarity's fold can differ
-    // from the engine's by an ulp, swapping tie-adjacent neighbors —
-    // the same cross-engine float-ordering hazard that moved q29/q35/q36
-    // to golden fixtures (round-3 review)
+    // RANK ordering comes from the golden fixture (GoldenOracles
+    // .cosineTopK): the rank orders by the UNROUNDED cosine, and
+    // list_cosine_similarity's fold can differ from the engine's by an
+    // ulp, swapping tie-adjacent neighbors — the cross-engine
+    // float-ordering hazard that moved q29/q35/q36 to golden fixtures.
+    // The cosine VALUES are additionally cross-checked against DuckDB's
+    // own independent list_cosine_similarity within 2e-4 (round-4 review:
+    // the golden fold is deliberately bit-identical to the engine kernel,
+    // so without this a systematic error in the shared formula would pass
+    // both sides; a failing tolerance drops rows → red row-count gate).
     "q28_cosine_topk" ->
-      s"""SELECT query_id, rank, neighbor_id, cos4
-         |FROM read_parquet('$GOLD/q28_cosine_topk.parquet/*.parquet')
-         |ORDER BY query_id, rank""".stripMargin,
+      s"""SELECT g.query_id, g.rank, g.neighbor_id, g.cos4
+         |FROM read_parquet('$GOLD/q28_cosine_topk.parquet/*.parquet') g
+         |JOIN embeddings q ON q.vec_id = g.query_id
+         |JOIN embeddings n ON n.vec_id = g.neighbor_id
+         |WHERE abs(g.cos4 - list_cosine_similarity(q.embedding, n.embedding)) <= 2e-4
+         |ORDER BY g.query_id, g.rank""".stripMargin,
 
     "q34_embedding_stats" ->
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -13,10 +13,21 @@ class QueriesSpec extends SparkTestBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
+      spark.catalog.clearCache() // isolate: attribute any leak to THIS query
       val df = fn(spark, dir)
       val n = df.count()
       if (!mayBeSmall(name)) assert(n > 0, s"$name returned 0 rows")
       assert(df.columns.nonEmpty)
+      // no-leaked-cache contract, as a RED TEST rather than the bench
+      // gate's warn-and-clear (the round-3 q25 leak shipped because the
+      // gate only warned — review finding). Convention: a query MAY
+      // return a persisted frame (results whose recompute would be
+      // nondeterministic or pathological are materialized; ownership
+      // transfers to the caller) — but every INTERNAL cache must be
+      // released before returning.
+      df.unpersist(false)
+      assert(org.apache.spark.sql.graftinternal.Shim.cacheIsEmpty(spark),
+        s"$name leaked cached data (internal persist without unpersist)")
     }
   }
 
