@@ -115,6 +115,10 @@ object BloomShardCache {
     cache.put(path, f)
     f
   }
+
+  /** Test probe: current entry count (bounded by MaxEntries — a long
+    * crawl cycles thousands of superseded shard versions through here). */
+  private[graft] def size: Int = cache.size()
 }
 
 /** `bloom_might_contain(url_hash)` — full-codegen probe of the shard set

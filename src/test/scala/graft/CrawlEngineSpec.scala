@@ -264,6 +264,23 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectSeen(eB).keySet == oB.seen.keySet)
   }
 
+  test("unreached finite budget (rank on the critical path) equals the unbounded fast path") {
+    // round 4: totalBudget == Long.MaxValue assigns the global-order rank
+    // on the fetch-log sink future (off the critical path) and dedups by
+    // the raw (fetch_ts, host, url_hash) tuple; ANY finite budget keeps
+    // the rank ahead of the fetch join. The two plan shapes must produce
+    // byte-identical crawls on the same input — this pins the tuple-vs-
+    // seq dedup-key equivalence and the deferred-rank refactor.
+    val fcfg = cfg.copy(totalBudget = 1000000000L) // finite, never reached
+    val eF = new CrawlEngine(spark, fixtureDir, snapDir("finite-budget"), fcfg)
+    val summary = eF.runFresh()
+    assert(collectLog(eF) == collectLog(engine))
+    assert(collectSeen(eF) == collectSeen(engine))
+    // totalSeen is manifest arithmetic (Σ seen_delta − Σ retired) since
+    // round 4 — pin it to the physical row count of the live seen files
+    assert(summary.totalSeen == eF.seen().count())
+  }
+
   test("robots: no fetched URL is disallowed, and some were denied") {
     val fetchedPaths = oracleResult.log.map(f => graft.urls.UrlCanon.pathOf(f.urlCanon))
     assert(fetchedPaths.forall(!_.startsWith("/blocked")))

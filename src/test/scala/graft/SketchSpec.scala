@@ -101,4 +101,38 @@ class SketchSpec extends SparkTestBase {
     assert(f.isSaturated)
     keys.foreach(k => assert(f.mightContain(k))) // degraded to always-maybe
   }
+
+  test("BloomShardCache: a long crawl's superseded shard versions are evicted; " +
+      "evicted entries reload correct content") {
+    // a 1000-round crawl writes ~P new immutable shard files per round —
+    // far more than the executor cache's MaxEntries (128). Eviction must
+    // bound the footprint, and a later re-get of an evicted path (e.g. a
+    // resume probing an old round's shard) must reload the REAL file, not
+    // stale or wrong content. Paths are content-unique by construction
+    // (uuid names), so a stale hit for a NEW round's file is impossible;
+    // this pins the other direction.
+    import graft.crawl.{BloomShardCache, HadoopConfSer, ShardFilter}
+    val conf = new HadoopConfSer(spark.sparkContext.hadoopConfiguration)
+    val dir = new java.io.File("target/test-shardcache")
+    dir.mkdirs()
+    val n = 300 // > MaxEntries
+    val paths = (0 until n).map { i =>
+      val f = ShardFilter.create("bloom", 100L, 0.01)
+      f.put(i.toLong)
+      val p = new java.io.File(dir, s"shard-ev-$i.bin")
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(p))
+      try f.writeTo(out) finally out.close()
+      p.getAbsolutePath
+    }
+    paths.zipWithIndex.foreach { case (p, i) =>
+      assert(BloomShardCache.get(p, conf).mightContain(i.toLong))
+    }
+    assert(BloomShardCache.size <= 128,
+      s"cache grew to ${BloomShardCache.size} entries — eviction broken")
+    // the first paths were evicted by now; re-get must reload from disk
+    // with the right content (its own key present, sibling keys absent —
+    // a mixed-up entry would contain the wrong singleton)
+    assert(BloomShardCache.get(paths(0), conf).mightContain(0L))
+    assert(!BloomShardCache.get(paths(1), conf).mightContain(299L))
+  }
 }
