@@ -35,9 +35,32 @@ final class HadoopConfSer(@transient private var conf: Configuration) extends Se
   * spark-submit deployment on a real multi-executor cluster cannot use —
   * snapshots must live on shared storage: HDFS, S3A, or a cluster-local
   * scheme). The sandbox exercises the same code through
-  * `RawLocalFileSystem`. Manifest atomicity is a FileContext
-  * rename-with-OVERWRITE — the same single-FS rename primitive Iceberg's
-  * HadoopTableOperations uses.
+  * `RawLocalFileSystem`.
+  *
+  * ==Manifest commit modes==
+  * Round visibility is defined by the manifest, so manifest commit is the
+  * only step that needs atomicity (data files land under not-yet-visible
+  * `round=R/` dirs first). Two modes:
+  *
+  *  - `rename` (default on filesystems with atomic rename: HDFS, local,
+  *    viewfs): the whole manifest is rewritten to a temp file and swapped
+  *    in with FileContext rename-with-OVERWRITE — the same single-FS
+  *    primitive Iceberg's HadoopTableOperations uses.
+  *  - `log` (default on object stores, where rename is copy+delete and a
+  *    reader can race the swap): commits never rewrite anything. Each
+  *    round appends ONE immutable, uniquely-named JSON object under
+  *    `manifest.d/` (`r<round%09d>-<uuid>.json`); readers list the
+  *    directory and assemble the manifest in name order. Visibility is
+  *    object creation — atomic per object on S3/GCS/ABFS — so no reader
+  *    ever observes a half-swapped manifest, and commit cost is O(1)
+  *    instead of O(rounds). An entry that fails to parse (an in-flight
+  *    PUT on a store without atomic object creation) is treated as
+  *    uncommitted, exactly like a data dir without a manifest line.
+  *
+  * Mode resolution: explicit `graft.snapshot.commit.mode` hadoopConf key
+  * (`rename` | `log`), else by the root FS scheme ([[SnapshotStore.ObjectStoreSchemes]]
+  * → `log`, anything else → `rename`). The rename path is never invoked
+  * in `log` mode, verified by a rename-refusing FileSystem in tests.
   *
   * Layout under `root`:
   * {{{
@@ -73,7 +96,20 @@ final class SnapshotStore(val root: String,
   /** Serializable conf for executor-side shard I/O (SeenSet). */
   lazy val confSer: HadoopConfSer = new HadoopConfSer(hadoopConf)
 
+  /** Resolved manifest commit mode ("rename" | "log") — see class doc. */
+  lazy val commitMode: String =
+    hadoopConf.get("graft.snapshot.commit.mode") match {
+      case m @ ("rename" | "log") => m
+      case null | "" | "auto" =>
+        // fs.getUri, not fs.getScheme — RawLocalFileSystem (and other
+        // pre-2.8-era FS impls) leave getScheme unimplemented
+        if (SnapshotStore.ObjectStoreSchemes(fs.getUri.getScheme)) "log" else "rename"
+      case other => throw new IllegalArgumentException(
+        s"graft.snapshot.commit.mode=$other (expected rename|log|auto)")
+    }
+
   def manifestPath: Path = new Path(root, "manifest.jsonl")
+  def manifestLogDir: Path = new Path(root, "manifest.d")
   def roundDir(r: Int): String = s"$root/round=$r"
   def frontierPath(r: Int): String = s"${roundDir(r)}/frontier"
   def seenDeltaPath(r: Int): String = s"${roundDir(r)}/seen_delta"
@@ -99,39 +135,87 @@ final class SnapshotStore(val root: String,
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def readManifestText(): Option[String] = {
-    if (!fs.exists(manifestPath)) return None
-    val in = fs.open(manifestPath)
-    try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+  private def readFileText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Committed manifest entries as raw JSON lines, in round order.
+    * `log` mode lists `manifest.d/` (names sort by zero-padded round;
+    * uuid suffix tiebreaks a duplicate round deterministically — first
+    * name wins, later duplicates are dropped) and skips any entry that
+    * fails to parse: an in-flight or torn PUT is simply not committed
+    * yet, the same contract as a data dir without a manifest line. */
+  private def manifestLines(): Seq[String] = commitMode match {
+    case "log" =>
+      if (!fs.exists(manifestLogDir)) {
+        // cross-mode guard: a rename-mode snapshot must not silently read
+        // as "no commits" under log mode (and vice versa below)
+        require(!fs.exists(manifestPath),
+          s"$root has a rename-mode manifest (manifest.jsonl) but commit " +
+            "mode resolved to 'log'; set graft.snapshot.commit.mode=rename " +
+            "to read it")
+        return Seq.empty
+      }
+      val files = fs.listStatus(manifestLogDir).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".json"))
+        .sortBy(_.getName)
+      val seenRounds = scala.collection.mutable.Set.empty[Int]
+      files.flatMap { p =>
+        val text = readFileText(p).trim
+        val round =
+          try Some(mapper.readTree(text).get("round").asInt())
+          catch { case _: Exception => None } // torn/in-flight PUT: not committed
+        round.filter(seenRounds.add).map(_ => text)
+      }
+    case _ =>
+      if (!fs.exists(manifestPath)) {
+        require(!fs.exists(manifestLogDir),
+          s"$root has a log-mode manifest (manifest.d/) but commit mode " +
+            "resolved to 'rename'; set graft.snapshot.commit.mode=log to " +
+            "read it")
+        Seq.empty
+      } else readFileText(manifestPath).linesIterator.filter(_.nonEmpty).toSeq
   }
 
   /** Rounds with a committed manifest line, ascending. */
   def committedRounds(): Seq[Int] =
-    readManifestText().map(_.linesIterator.filter(_.nonEmpty)
-      .map(l => mapper.readTree(l).get("round").asInt()).toSeq)
-      .getOrElse(Seq.empty)
+    manifestLines().map(l => mapper.readTree(l).get("round").asInt())
 
   def lastCommitted(): Option[Int] = committedRounds().lastOption
 
   def readManifest(): Seq[Map[String, Any]] =
-    readManifestText().map(_.linesIterator.filter(_.nonEmpty).map { l =>
+    manifestLines().map { l =>
       mapper.readValue(l, classOf[java.util.Map[String, Any]]).asScala.toMap
-    }.toSeq).getOrElse(Seq.empty)
+    }
 
-  /** Atomic append: rewrite manifest to temp + rename-with-overwrite.
-    * Single-FS rename is the same atomicity primitive Iceberg's
-    * HadoopTableOperations uses (on S3A, FileContext maps this to the
-    * store's rename; object stores without atomic rename need a
-    * commit-service catalog — out of sandbox scope, noted in SURVEY). */
-  def commit(entryJson: String): Unit = {
-    fs.mkdirs(new Path(root))
-    val existing = readManifestText().getOrElse("")
-    val tmp = new Path(root, ".manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fc.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+  /** Make a round visible. `rename` mode: rewrite manifest to temp +
+    * rename-with-overwrite (atomic on HDFS/local — the primitive
+    * Iceberg's HadoopTableOperations uses). `log` mode: create ONE new
+    * immutable uniquely-named object — no rename anywhere on the path,
+    * safe on object stores (see class doc). */
+  def commit(entryJson: String): Unit = commitMode match {
+    case "log" =>
+      fs.mkdirs(manifestLogDir)
+      val round = mapper.readTree(entryJson).get("round").asInt()
+      val name = f"r$round%09d-${java.util.UUID.randomUUID()}.json"
+      // overwrite=false: the uuid makes collisions impossible, and a
+      // same-name overwrite would indicate a logic error worth failing on
+      val out = fs.create(new Path(manifestLogDir, name), false)
+      try out.write((entryJson + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    case _ =>
+      fs.mkdirs(new Path(root))
+      val existing = manifestLines().mkString("", "\n", "\n") match {
+        case "\n" => ""
+        case s => s
+      }
+      val tmp = new Path(root, ".manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fc.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
 
   /** Serialize one manifest entry. `lineage` carries per-partition
@@ -191,4 +275,14 @@ final class SnapshotStore(val root: String,
       .flatMap(e => Option(e.getOrElse("bloom_paths", null)))
       .map(_.asInstanceOf[java.util.List[String]].asScala.toArray)
       .getOrElse(Array.empty[String])
+}
+
+object SnapshotStore {
+  /** Schemes whose rename is copy+delete (or absent) — manifest commit
+    * defaults to the immutable `log` mode on these. Conservative list of
+    * the Hadoop object-store connectors; anything unknown keeps `rename`
+    * (override with graft.snapshot.commit.mode=log). */
+  val ObjectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+        "oss", "cos", "cosn", "swift", "obs")
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.crawl.SnapshotStore
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A filesystem whose rename ALWAYS refuses — models an object store with
+  * no (atomic) rename. Registered under the `norename://` scheme; any
+  * code path that tries to rename through it fails the test loudly. */
+class NoRenameFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename is not available on this store: $src -> $dst")
+}
+
+/** Manifest commit-mode contract (SnapshotStore class doc): `log` mode
+  * must commit and read rounds without EVER invoking rename, tolerate
+  * torn in-flight entries, resolve duplicate-round races
+  * deterministically, and refuse to silently read a snapshot written in
+  * the other mode. */
+class SnapshotStoreSpec extends AnyFunSuite {
+
+  private def freshDir(name: String): String = {
+    val d = new java.io.File(s"target/test-snapstore/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  private def confWith(kv: (String, String)*): Configuration = {
+    val c = new Configuration() // defaults loaded: rename mode needs the
+    // fs.AbstractFileSystem.file.impl binding for FileContext
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def entry(store: SnapshotStore, round: Int, seenPaths: Seq[String]): String =
+    store.entryJson(round, round - 1, Map("frontier" -> 10L, "seen_delta" -> 5L),
+      Seq(2L, 3L), Map("fetched_total" -> (round * 10).toDouble), seenPaths,
+      Seq.empty, 2)
+
+  test("log mode: commit + read back rounds with no rename anywhere " +
+      "(rename-refusing FS)") {
+    val conf = confWith(
+      "fs.norename.impl" -> classOf[NoRenameFileSystem].getName,
+      "graft.snapshot.commit.mode" -> "log")
+    val root = "norename://" + freshDir("lognorename")
+    val store = new SnapshotStore(root, conf)
+    assert(store.commitMode == "log")
+    (0 to 3).foreach(r => store.commit(entry(store, r, Seq(s"$root/round=$r/seen_delta"))))
+    assert(store.committedRounds() == Seq(0, 1, 2, 3))
+    assert(store.lastCommitted().contains(3))
+    assert(store.liveSeenPaths() == Seq(s"$root/round=3/seen_delta"))
+    assert(store.livePartitions() == 2)
+    assert(store.metricOf(store.readManifest().last, "fetched_total") == 30.0)
+  }
+
+  test("rename mode on a rename-less FS fails loudly at commit (fail-fast, " +
+      "not silent corruption)") {
+    val conf = confWith("fs.norename.impl" -> classOf[NoRenameFileSystem].getName,
+      "graft.snapshot.commit.mode" -> "rename")
+    val store = new SnapshotStore("norename://" + freshDir("renamefail"), conf)
+    // either the rename itself refuses (UnsupportedOperationException) or
+    // FileContext has no AbstractFileSystem binding for the scheme — both
+    // fail the commit loudly instead of tearing the manifest
+    val ex = intercept[Exception] { store.commit(entry(store, 0, Seq.empty)) }
+    assert(ex.isInstanceOf[UnsupportedOperationException] ||
+      ex.isInstanceOf[java.io.IOException], ex.toString)
+  }
+
+  test("object-store schemes default to log mode; local defaults to rename; " +
+      "explicit conf overrides") {
+    // scheme-based defaults are resolved lazily off the root FS; local FS
+    assert(new SnapshotStore(freshDir("auto"), confWith()).commitMode == "rename")
+    assert(new SnapshotStore(freshDir("forced"),
+      confWith("graft.snapshot.commit.mode" -> "log")).commitMode == "log")
+    assert(SnapshotStore.ObjectStoreSchemes.contains("s3a"))
+    intercept[IllegalArgumentException] {
+      new SnapshotStore(freshDir("bad"),
+        confWith("graft.snapshot.commit.mode" -> "bogus")).commitMode
+    }
+  }
+
+  test("log mode: a torn in-flight entry is invisible (not committed), " +
+      "then visible once a full entry lands") {
+    val conf = confWith("graft.snapshot.commit.mode" -> "log")
+    val root = freshDir("torn")
+    val store = new SnapshotStore(root, conf)
+    store.commit(entry(store, 0, Seq(s"$root/round=0/seen_delta")))
+    // simulate a torn PUT: a truncated JSON prefix for round 1
+    val dir = new java.io.File(root, "manifest.d")
+    val torn = new java.io.File(dir, "r000000001-torn.json")
+    val w = new java.io.FileWriter(torn)
+    try w.write("""{"round": 1, "rows": {"fron""") finally w.close()
+    assert(store.committedRounds() == Seq(0), "torn entry must not be visible")
+    assert(store.lastCommitted().contains(0))
+    store.commit(entry(store, 1, Seq(s"$root/round=1/seen_delta")))
+    assert(store.committedRounds() == Seq(0, 1))
+  }
+
+  test("log mode: duplicate commits of the same round resolve " +
+      "deterministically (first file name wins)") {
+    val conf = confWith("graft.snapshot.commit.mode" -> "log")
+    val root = freshDir("dup")
+    val store = new SnapshotStore(root, conf)
+    store.commit(entry(store, 0, Seq.empty))
+    // two racers both committed round 1 with different payloads
+    val dir = new java.io.File(root, "manifest.d")
+    def put(name: String, fetched: Double): Unit = {
+      val w = new java.io.FileWriter(new java.io.File(dir, name))
+      try w.write(store.entryJson(1, 0, Map("frontier" -> 1L), Seq(1L),
+        Map("fetched_total" -> fetched), Seq.empty) + "\n")
+      finally w.close()
+    }
+    put("r000000001-bbbb.json", 222.0)
+    put("r000000001-aaaa.json", 111.0)
+    assert(store.committedRounds() == Seq(0, 1))
+    assert(store.metricOf(store.readManifest().last, "fetched_total") == 111.0,
+      "lexicographically-first entry must win the duplicate-round race")
+  }
+
+  test("cross-mode guard: a snapshot written in one mode refuses to read " +
+      "as empty under the other") {
+    val root = freshDir("crossmode")
+    val logStore = new SnapshotStore(root,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    logStore.commit(entry(logStore, 0, Seq.empty))
+    val renameStore = new SnapshotStore(root,
+      confWith("graft.snapshot.commit.mode" -> "rename"))
+    intercept[IllegalArgumentException] { renameStore.lastCommitted() }
+
+    val root2 = freshDir("crossmode2")
+    val rs2 = new SnapshotStore(root2, confWith())
+    rs2.commit(entry(rs2, 0, Seq.empty))
+    val ls2 = new SnapshotStore(root2,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    intercept[IllegalArgumentException] { ls2.lastCommitted() }
+  }
+}
