@@ -99,7 +99,7 @@ object BloomShardCache {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, ShardFilter](64, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, ShardFilter]): Boolean =
-        size() > MaxEntries
+        this.size() > MaxEntries
     })
 
   def get(path: String, conf: HadoopConfSer): ShardFilter = {
@@ -268,12 +268,28 @@ object SeenSet {
     * The engine's headline dedup metric uses it instead of an
     * Observation: the union above `tagged` has two consuming stages
     * whose racing first-materialization can double-fire CollectMetrics
-    * accumulators on recomputed cache partitions (review finding). */
+    * accumulators on recomputed cache partitions (review finding).
+    * `tombstones` (url_hash, retire_round — engine retireHost) masks seen
+    * rows with `first_round < retire_round` out of the seen side, so a
+    * retired-then-relinked URL counts as NEW (re-discoverable) without the
+    * base file having been rewritten; rows the host re-acquired AFTER the
+    * retire (first_round >= retire_round) stay seen. Tombstones are tiny
+    * (one retire's URLs) → broadcast; the mask keeps the base side's
+    * bucketed partitioning, so the big anti-join stays exchange-free. */
   def newUrls(spark: SparkSession, cand: DataFrame, seenParts: Seq[DataFrame],
-              reader: Option[BloomShardReader]): (DataFrame, () => Unit, Option[() => Long]) = {
+              reader: Option[BloomShardReader],
+              tombstones: Option[DataFrame] = None): (DataFrame, () => Unit, Option[() => Long]) = {
+    def liveHashes(seen: DataFrame): DataFrame = tombstones match {
+      case Some(tomb) =>
+        seen.join(broadcast(tomb),
+          seen("url_hash") === tomb("url_hash") &&
+            seen("first_round") < tomb("retire_round"), "left_anti")
+          .select("url_hash")
+      case None => seen.select("url_hash")
+    }
     def antiAll(df: DataFrame): DataFrame =
       seenParts.foldLeft(df)((acc, seen) =>
-        acc.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
+        acc.join(liveHashes(seen), Seq("url_hash"), "left_anti"))
     reader match {
       case Some(rd) =>
         val probe = Shim.col(BloomMightContain(Shim.expr(col("url_hash")), rd))

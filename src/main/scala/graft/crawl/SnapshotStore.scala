@@ -84,13 +84,22 @@ final class HadoopConfSer(@transient private var conf: Configuration) extends Se
   * round directories without a manifest line are ignored on resume (the
   * atomic-commit contract).
   */
-final class SnapshotStore(val root: String,
+final class SnapshotStore(rootSpec: String,
                           hadoopConf: Configuration = new Configuration()) {
 
   private val mapper = new ObjectMapper()
 
   /** The FS owning `root` (local in the sandbox; HDFS/S3A on a cluster). */
-  lazy val fs: FileSystem = new Path(root).getFileSystem(hadoopConf)
+  lazy val fs: FileSystem = new Path(rootSpec).getFileSystem(hadoopConf)
+
+  /** The snapshot root, FULLY QUALIFIED (scheme + absolute path). Every
+    * derived path inherits the qualification — load-bearing for
+    * multi-executor runs: shard files and manifest paths ship to executor
+    * JVMs as strings, and a relative path would resolve against each
+    * executor's own working directory, not the driver's (found by the
+    * first local-cluster run: executors looked for `target/...` bloom
+    * shards inside their scratch dirs). */
+  lazy val root: String = fs.makeQualified(new Path(rootSpec)).toString
   private lazy val fc: FileContext = FileContext.getFileContext(fs.getUri, hadoopConf)
 
   /** Serializable conf for executor-side shard I/O (SeenSet). */
@@ -117,6 +126,7 @@ final class SnapshotStore(val root: String,
   def fetchLogPath(r: Int): String = s"${roundDir(r)}/fetchlog"
   def bloomsDir(r: Int): String = s"${roundDir(r)}/blooms"
   def hostReadyPath(r: Int): String = s"${roundDir(r)}/hostready"
+  def tombstonesPath(r: Int): String = s"${roundDir(r)}/tombstones"
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
@@ -219,14 +229,23 @@ final class SnapshotStore(val root: String,
   }
 
   /** Serialize one manifest entry. `lineage` carries per-partition
-    * (pmod(url_hash, P) bucket) row counts of the seen delta,
-    * `seenPaths` the live seen-set files after compaction, and
-    * `bloomPaths` the current file of every bloom shard —
-    * BASELINE.json:14 "per-partition lineage + metrics". */
+    * (pmod(url_hash, P) bucket) row counts of the round's seen-set CHANGE:
+    * positive delta counts for crawl rounds, NEGATIVE retired counts for a
+    * retire round (so the per-bucket running sum over all rounds equals
+    * the live per-bucket seen counts at every point — the invariant
+    * CrawlEngineSpec pins). `seenPaths` holds the live seen-set files
+    * after compaction, `bloomPaths` the current file of every bloom
+    * shard, `tombstonePaths` the live retire-tombstone files (rows they
+    * mask are folded out of the base — and the list cleared — at the
+    * next compaction), and `hostReadyPath` points at the live host-ready
+    * snapshot (a retire round reuses the parent round's file instead of
+    * copying O(#hosts) rows) — BASELINE.json:14 "per-partition lineage +
+    * metrics". */
   def entryJson(round: Int, parent: Int, rows: Map[String, Long],
                 lineage: Seq[Long], metrics: Map[String, Double],
                 seenPaths: Seq[String], bloomPaths: Seq[String] = Seq.empty,
-                partitions: Int = 0): String = {
+                partitions: Int = 0, tombstonePaths: Seq[String] = Seq.empty,
+                hostReadyPath: Option[String] = None): String = {
     val node = mapper.createObjectNode()
     node.put("round", round)
     node.put("parent", parent)
@@ -239,6 +258,11 @@ final class SnapshotStore(val root: String,
     seenPaths.foreach(sp.add)
     val bp = node.putArray("bloom_paths")
     bloomPaths.foreach(p => if (p == null) bp.addNull() else bp.add(p))
+    if (tombstonePaths.nonEmpty) {
+      val tp = node.putArray("tombstone_paths")
+      tombstonePaths.foreach(tp.add)
+    }
+    hostReadyPath.foreach(node.put("hostready_path", _))
     val met = node.putObject("metrics")
     metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
     mapper.writeValueAsString(node)
@@ -267,6 +291,27 @@ final class SnapshotStore(val root: String,
     readManifest().lastOption
       .flatMap(e => Option(e.getOrElse("partitions", null)))
       .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+
+  /** Live retire-tombstone parquet paths (url_hash, retire_round) as of
+    * the last committed round — empty when no un-compacted retire exists
+    * (the common case; pre-tombstone manifests simply lack the field). */
+  def liveTombstonePaths(): Seq[String] =
+    readManifest().lastOption
+      .flatMap(e => Option(e.getOrElse("tombstone_paths", null)))
+      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+      .getOrElse(Seq.empty)
+
+  /** The live host-ready snapshot path: the last committed round's
+    * explicit pointer if present, else that round's conventional path
+    * (pre-pointer manifests, and every crawl round — only retire rounds
+    * point back at their parent's file). */
+  def liveHostReadyPath(): String = {
+    val last = readManifest().lastOption
+    last.flatMap(e => Option(e.getOrElse("hostready_path", null)))
+      .map(_.asInstanceOf[String])
+      .getOrElse(hostReadyPath(last.map(_("round").asInstanceOf[Number].intValue())
+        .getOrElse(0)))
+  }
 
   /** Per-shard bloom file paths as of the last committed round (null
     * entries = never-written shards); empty when blooms are disabled. */

@@ -32,12 +32,22 @@ final class CrawlOracle(corpus: CorpusGen.Corpus, cfg: CrawlConfig) {
 
   private final case class Entry(urlCanon: String, urlHash: Long, host: String, depth: Int)
 
-  def run(): OracleResult = {
+  def run(): OracleResult = run(None)
+
+  /** Run with an optional mid-crawl host retire, mirroring the engine's
+    * retireHost exactly: after `retire = Some((afterRounds, host))` fetch
+    * rounds complete, the host's URLs leave the seen set (re-discoverable
+    * from later links) and the frontier, and the round counter advances
+    * by one (the engine's retire commits a fetchless snapshot round).
+    * Politeness clocks (hostReady) are untouched — host metadata, not
+    * crawl state — so a re-discovered host keeps honoring its delay. */
+  def run(retire: Option[(Int, String)]): OracleResult = {
     val seen = mutable.HashMap.empty[Long, (String, Int)]
     val hostReady = mutable.HashMap.empty[String, Long]
     val log = Vector.newBuilder[OracleFetch]
     var fetchedSoFar = 0L
     var round = 0
+    var retirePending = retire
 
     var frontier: Vector[Entry] = corpus.seeds.map { s =>
       val c = UrlCanon.canonicalize(s)
@@ -46,6 +56,15 @@ final class CrawlOracle(corpus: CorpusGen.Corpus, cfg: CrawlConfig) {
     frontier.foreach(e => seen(e.urlHash) = (e.urlCanon, 0))
 
     while (frontier.nonEmpty && fetchedSoFar < cfg.totalBudget) {
+      retirePending match {
+        case Some((atRound, host)) if round == atRound =>
+          seen.filterInPlace { case (_, (canon, _)) => UrlCanon.hostOf(canon) != host }
+          frontier = frontier.filterNot(_.host == host)
+          round += 1 // the retire consumes a round number, like the engine's commit
+          retirePending = None
+          if (frontier.isEmpty) return OracleResult(log.result(), seen.toMap, round)
+        case _ => ()
+      }
       // P4 robots
       val allowed = frontier.filter { e =>
         RobotsMatch.allows(rulesByHost.getOrElse(e.host, Seq.empty), UrlCanon.pathOf(e.urlCanon))

@@ -240,17 +240,66 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(summary.totalSeen == after.size)
   }
 
-  test("retireHost with bloom shards rebuilds them from the surviving set") {
+  test("retireHost with bloom shards: tombstones mask exactly, shards and " +
+      "seen base untouched (O(host URLs), not O(|seen|))") {
     val e = new CrawlEngine(spark, fixtureDir, snapDir("retire-bloom"), cfg)
     e.runFresh()
     val before = collectSeen(e)
+    val seenPathsBefore = e.store.liveSeenPaths()
+    val bloomPathsBefore = e.store.liveBloomPaths().toSeq
     val host = graft.urls.UrlCanon.hostOf(before.values.head._1)
     val n = e.retireHost(host)
     assert(n > 0)
     val after = collectSeen(e)
     assert(after == before.filter { case (_, (u, _)) => graft.urls.UrlCanon.hostOf(u) != host })
+    // the retire wrote a tombstone delta — it did NOT rewrite the seen
+    // base or the bloom shards (blooms can't delete; exactness comes from
+    // the tombstone mask in the anti-join chain)
+    assert(e.store.liveSeenPaths() == seenPathsBefore, "seen base was rewritten")
+    assert(e.store.liveBloomPaths().toSeq == bloomPathsBefore, "bloom shards were rewritten")
+    assert(e.store.liveTombstonePaths().nonEmpty)
     val reader = new graft.crawl.BloomShardReader(e.store.liveBloomPaths(), e.store.confSer)
-    after.keys.foreach(h => assert(reader.mightContain(h), "false negative after rebuild"))
+    after.keys.foreach(h => assert(reader.mightContain(h), "false negative after retire"))
+  }
+
+  test("mid-crawl retire + re-discovery resume equals the sequential oracle " +
+      "exactly (log, seen set, first_round)") {
+    val e = new CrawlEngine(spark, fixtureDir, snapDir("retire-rediscover"), cfg)
+    e.runFresh(maxRounds = 3)
+    // retire the most-fetched host: densely linked, so resumed rounds
+    // re-discover its URLs through other hosts' pages
+    val host = oracleResult.log.groupBy(_.host).maxBy(_._2.size)._1
+    val n = e.retireHost(host)
+    assert(n > 0)
+    e.resume()
+    val want = new CrawlOracle(corpus, cfg).run(Some((3, host)))
+    val got = collectLog(e)
+    val wantLog = want.log.map(f =>
+      (f.seq, f.urlCanon, f.urlHash, f.host, f.depth, f.round, f.rn, f.fetchTs, f.status, f.docId))
+    assert(got.size == wantLog.size, s"sizes: got=${got.size} want=${wantLog.size}")
+    got.zip(wantLog).foreach { case (g, w) => assert(g == w, s"\n got=$g\nwant=$w") }
+    val gotSeen = collectSeen(e)
+    assert(gotSeen == want.seen)
+    // the pin is only meaningful if re-discovery actually happened:
+    // retired URLs back in seen with a post-retire first_round
+    val re = gotSeen.filter { case (_, (u, fr)) =>
+      graft.urls.UrlCanon.hostOf(u) == host && fr >= 4 }
+    assert(re.nonEmpty, "retired host was never re-discovered — pick a denser host")
+    // lineage contract: per-bucket running sum over ALL manifest entries
+    // (positive deltas, negative retires) == live per-bucket seen counts
+    val lineageSum = e.store.readManifest()
+      .map(_("seen_delta_partition_rows").asInstanceOf[java.util.List[Number]])
+      .map(_.toArray.map(_.asInstanceOf[Number].longValue()))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val liveCounts = e.seen()
+      .groupBy(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("url_hash"),
+        org.apache.spark.sql.functions.lit(cfg.partitions.toLong)).as("b"))
+      .count().collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until cfg.partitions).foreach { b =>
+      assert(lineageSum(b) == liveCounts.getOrElse(b, 0L),
+        s"bucket $b: lineage sum ${lineageSum(b)} != live ${liveCounts.getOrElse(b, 0L)}")
+    }
   }
 
   test("budget truncation matches the oracle (discovered-but-unfetched still seen)") {
