@@ -80,14 +80,27 @@ object BenchFrontier {
     // frontier with bogus ?v=-1 URLs instead of erroring
     require(variants >= 1, s"SPARK_GRAFT_FRONTIER_X must be >= 1, got $variants")
     val buckets = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_BUCKETS", "128").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus * 4) // tasks ≫ cores
+    // SPARK_GRAFT_EXECUTORS=E runs the SAME round under local-cluster
+    // [E, cpus, mem] — E real executor JVMs (netty shuffle, serialized
+    // closures/broadcasts, per-JVM codegen) instead of local threads.
+    // Run at E and 4E on identical input for the N→4N EXECUTOR scaling
+    // line (BASELINE.json: efficiency = thpt_4E / (4 × thpt_E)).
+    val executors = sys.env.get("SPARK_GRAFT_EXECUTORS").map(_.toInt)
+    val execMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "8192").toInt
+    val totalCores = cpus * executors.getOrElse(1)
+    val builder = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", totalCores * 4) // tasks ≫ cores
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", -1) // measure the shuffle path
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    executors match {
+      case Some(e) =>
+        builder.master(s"local-cluster[$e,$cpus,$execMb]")
+        ClusterCheck.clusterConfigs.foreach { case (k, v) => builder.config(k, v) }
+      case None => builder.master(s"local[$cpus]")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val fx = CorpusGen.ensureFor(spark, sfDir)
@@ -190,7 +203,8 @@ object BenchFrontier {
     val candCount = cand.count()
     val urlsPerSec = (allowedSize + candCount) / wallSec
     println(
-      s"""{"cpus":$cpus,"sf":"$sfDir","variants":$variants,"buckets":$buckets,""" +
+      s"""{"cpus":$cpus,"executors":${executors.getOrElse(0)},""" +
+        s""""sf":"$sfDir","variants":$variants,"buckets":$buckets,""" +
         s""""frontier_urls":$frontierSize,"fetched_urls":$allowedSize,""" +
         s""""candidates":$candCount,"new_urls":$newCount,""" +
         s""""round_sec":$wallSec,"urls_fetched_plus_deduped_per_sec":$urlsPerSec}""")

@@ -1,0 +1,173 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.oracle.CrawlOracle
+import graft.queries.CrawlOps
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor (multi-JVM) evidence run. `local-cluster[N,cores,mem]`
+  * is Spark's real standalone scheduler on one box: the master/worker run
+  * in-process but every EXECUTOR is a separate forked JVM, so — unlike
+  * `local[n]`, where closure serialization is skipped and all tasks share
+  * the driver's heap — this exercises the full cluster surface the engine
+  * claims to support: task/closure serialization of the robots index and
+  * shard readers (HadoopConfSer), broadcast transport, cross-JVM shard-file
+  * reads (an executor probing bloom shards a DIFFERENT JVM built),
+  * netty shuffle between executor processes, and snapshot commit/resume
+  * through shared storage.
+  *
+  * Modes (args: `[executors] [coresPerExec] [memMbPerExec] [mode]`):
+  *  - `check` (default): Smoke-tier crawl under the cluster, asserted
+  *    byte-identical to the sequential oracle (crawl order, seen set,
+  *    politeness) + a retire/re-discovery resume — exits nonzero on any
+  *    mismatch. ClusterCrawlSpec runs this as a subprocess in `sbt test`.
+  *  - `bench`: BenchCrawl's protocol under the cluster on
+  *    SPARK_GRAFT_SF_DIR; run at N and 4N executors on identical input.
+  *    N→4N executor-scaling efficiency = throughput_4N / (4 × throughput_N).
+  *    One JSON line per run.
+  */
+object ClusterCheck {
+
+  /** The JDK17 module opens Spark 4 needs; the driver JVM gets them from
+    * build.sbt javaOptions, the forked executor JVMs via
+    * spark.executor.extraJavaOptions here. */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  /** Configs every local-cluster session needs (shared with
+    * BenchFrontier's cluster mode): executor JVMs are forked from
+    * SPARK_HOME's jars only, so the engine's own classes ship via
+    * extraClassPath (same box, shared filesystem); -Dspark.* is not
+    * allowed in executor opts, so static SQL confs go on the session. */
+  def clusterConfigs: Seq[(String, String)] = {
+    // the worker-side executor launcher resolves SPARK_HOME/jars and needs
+    // the scala version; spark-submit's shell scripts export it, a bare
+    // JVM does not — fail fast with the fix instead of a cryptic
+    // "Cannot find any build directories" from every executor fork
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "local-cluster mode outside spark-submit needs SPARK_SCALA_VERSION=2.13 " +
+        "in the environment (the executor launcher reads it)")
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    Seq(
+      "spark.executor.extraClassPath" -> classesDir,
+      "spark.executor.extraJavaOptions" -> addOpens,
+      // executor fork + registration takes seconds; don't let the first
+      // job start before the workers are up
+      "spark.scheduler.maxRegisteredResourcesWaitingTime" -> "60s",
+      "spark.scheduler.minRegisteredResourcesRatio" -> "1.0")
+  }
+
+  def session(executors: Int, coresPerExec: Int, memMb: Int,
+              shufflePartitions: Int): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
+      .appName("graft-cluster")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    clusterConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val s = builder.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val executors = args.headOption.map(_.toInt).getOrElse(2)
+    val coresPer = if (args.length > 1) args(1).toInt else 4
+    val memMb = if (args.length > 2) args(2).toInt else 2048
+    val mode = if (args.length > 3) args(3) else "check"
+    mode match {
+      case "check" => check(executors, coresPer, memMb)
+      case "bench" => bench(executors, coresPer, memMb)
+      case other => sys.error(s"unknown mode: $other (check|bench)")
+    }
+  }
+
+  private def check(executors: Int, coresPer: Int, memMb: Int): Unit = {
+    val spark = session(executors, coresPer, memMb, shufflePartitions = 8)
+    try {
+      val fixtureDir = CorpusGen.ensure(spark, CorpusGen.Smoke)
+      val cfg = CrawlConfig(maxDepth = 10, perHostPerRound = 25, partitions = 8,
+        bloomShardCapacity = 50000L)
+      val snap = s"target/cluster-check/snap-e$executors"
+      val engine = new CrawlEngine(spark, fixtureDir, snap, cfg)
+      engine.runFresh()
+
+      val corpus = CorpusGen.build(CorpusGen.Smoke)
+      val want = new CrawlOracle(corpus, cfg).run()
+      val got = engine.fetchLog()
+        .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
+          "fetch_ts", "status", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
+        .sortBy(_._1).toVector
+      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
+        f.round, f.rn, f.fetchTs, f.status, f.docId))
+      require(got == wantLog,
+        s"fetch log mismatch under local-cluster[$executors,$coresPer]: " +
+          s"got=${got.size} want=${wantLog.size} rows; first diff: " +
+          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
+      val gotSeen = engine.seen().collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      require(gotSeen == want.seen,
+        s"seen-set mismatch: got=${gotSeen.size} want=${want.seen.size}")
+
+      // retire + re-discovery resume: exercises cuckoo-free tombstone
+      // masking, manifest pointer round-trips and a cross-JVM shard-cache
+      // population with a DIFFERENT shard-set version
+      val host = want.log.groupBy(_.host).maxBy(_._2.size)._1
+      val e2 = new CrawlEngine(spark, fixtureDir, s"$snap-retire", cfg)
+      e2.runFresh(maxRounds = 3)
+      e2.retireHost(host)
+      e2.resume()
+      val want2 = new CrawlOracle(corpus, cfg).run(Some((3, host)))
+      val got2Seen = e2.seen().collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      require(got2Seen == want2.seen,
+        s"post-retire seen mismatch: got=${got2Seen.size} want=${want2.seen.size}")
+
+      println(s"CLUSTER-CHECK OK executors=$executors coresPer=$coresPer " +
+        s"fetched=${got.size} seen=${gotSeen.size} retire_resume_seen=${got2Seen.size}")
+    } finally spark.stop()
+  }
+
+  private def bench(executors: Int, coresPer: Int, memMb: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val totalCores = executors * coresPer
+    val spark = session(executors, coresPer, memMb, shufflePartitions = totalCores)
+    try {
+      val tier = CorpusGen.tierFor(sfDir)
+      val fx = CorpusGen.ensureFor(spark, sfDir) // untimed input preparation
+      val cfg = CrawlOps.crawlConfigFor(totalCores, tier)
+      CrawlEngine.prepareStaticInputs(spark, fx, cfg.partitions) // untimed ingest
+      val engine = new CrawlEngine(spark, fx,
+        s"target/cluster-scaling/${tier.name}-e$executors-c$coresPer", cfg)
+      val t0 = System.nanoTime()
+      engine.runFresh()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val manifest = engine.store.readManifest()
+      def m(e: Map[String, Any], k: String): Double = engine.store.metricOf(e, k)
+      val fetched = manifest.lastOption.map(m(_, "fetched_total")).getOrElse(0.0)
+      val candidates = manifest.map(m(_, "candidates")).sum
+      val bulk = manifest.filter(e => m(e, "scheduled") >= fetched * 0.02)
+      val bulkWork = bulk.map(e => m(e, "scheduled") + m(e, "candidates")).sum
+      val bulkSec = bulk.map(m(_, "round_sec")).sum
+      println(
+        s"""{"executors":$executors,"cores_per_executor":$coresPer,""" +
+          s""""sf":"$sfDir","crawl_sec":$wallSec,"fetched":$fetched,""" +
+          s""""dedup_candidates":$candidates,""" +
+          s""""urls_per_sec":${(fetched + candidates) / wallSec},""" +
+          s""""steady_rounds":${bulk.size},"steady_sec":$bulkSec,""" +
+          s""""steady_urls_per_sec":${bulkWork / bulkSec}}""")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.TimeUnit
+
+/** Runs [[ClusterCheck]] as a SEPARATE driver process under
+  * `local-cluster[2,4,2048]` — Spark's standalone scheduler with two real
+  * forked executor JVMs — and asserts the crawl (and a retire +
+  * re-discovery resume) is byte-identical to the sequential oracle there.
+  * This is the multi-process evidence `local[n]` cannot give: closure/task
+  * serialization, broadcast transport, netty shuffle between processes,
+  * and executors reading bloom-shard files a different JVM wrote.
+  *
+  * A subprocess (not a session swap in this JVM) because a JVM allows one
+  * SparkContext at a time and every other suite shares SparkTestBase's
+  * local[8] session. */
+class ClusterCrawlSpec extends AnyFunSuite {
+
+  test("crawl + retire/resume equality vs the oracle under " +
+      "local-cluster[2,4] (two executor JVMs)") {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.ClusterCheck", "2", "4", "2048", "check")
+    val log = new java.io.File("target/cluster-check/check.log")
+    log.getParentFile.mkdirs()
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+    // the standalone worker launches executor JVMs through the launcher,
+    // which resolves SPARK_HOME/jars and needs the scala version when not
+    // started via Spark's shell scripts
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    val p = pb.start()
+    val finished = p.waitFor(10, TimeUnit.MINUTES)
+    if (!finished) {
+      p.destroyForcibly()
+      fail(s"ClusterCheck timed out; log tail:\n${tail(log)}")
+    }
+    assert(p.exitValue() == 0,
+      s"ClusterCheck exited ${p.exitValue()}; log tail:\n${tail(log)}")
+    assert(tail(log).contains("CLUSTER-CHECK OK"), s"log tail:\n${tail(log)}")
+  }
+
+  private def tail(f: java.io.File): String = {
+    val s = java.nio.file.Files.readString(f.toPath)
+    s.substring(math.max(0, s.length - 4000))
+  }
+}
