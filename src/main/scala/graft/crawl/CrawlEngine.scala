@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graftinternal.Shim
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.jdk.CollectionConverters._
 
 /** The crawl driver loop (SURVEY.md §3 E1) — PyCrawler's fetch-parse-
   * extract loop re-expressed as batch-iterative Dataset rounds:
@@ -238,9 +239,32 @@ final class CrawlEngine(
   /** The authoritative (exact) seen set: the live (compacted base +
     * delta) files of the last committed round, minus any un-compacted
     * retire tombstones (round-aware mask — see [[retireHost]]). */
-  def seen(): DataFrame = {
-    val all = spark.read.schema(seenSchema).parquet(store.liveSeenPaths(): _*)
-    store.liveTombstonePaths() match {
+  def seen(): DataFrame =
+    seenFrom(store.liveSeenPaths(), store.liveTombstonePaths())
+
+  /** Time travel: the exact seen set AS OF committed round `r` — read
+    * straight off round r's manifest entry (its seen_paths + tombstone
+    * mask), no reconstruction or replay. Every manifest entry is a full
+    * Iceberg-style snapshot, so this is O(that round's live files).
+    * Fails if round r was never committed, or if its data files were
+    * dropped by [[SnapshotStore.expireRounds]] (expiry keeps the last
+    * `keepLast` rounds' files — the same trade Iceberg's
+    * expire_snapshots makes). */
+  def seenAsOf(r: Int): DataFrame = {
+    val e = store.entryFor(r).getOrElse(
+      throw new IllegalArgumentException(
+        s"round $r has no committed manifest entry " +
+          s"(committed: ${store.committedRounds().mkString(",")})"))
+    def strList(k: String): Seq[String] =
+      Option(e.getOrElse(k, null))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty)
+    seenFrom(strList("seen_paths"), strList("tombstone_paths"))
+  }
+
+  private def seenFrom(seenPaths: Seq[String], tombPaths: Seq[String]): DataFrame = {
+    val all = spark.read.schema(seenSchema).parquet(seenPaths: _*)
+    tombPaths match {
       case Seq() => all
       case tp =>
         val tomb = spark.read.schema(tombSchema).parquet(tp: _*)

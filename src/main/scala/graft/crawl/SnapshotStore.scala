@@ -320,6 +320,102 @@ final class SnapshotStore(rootSpec: String,
       .flatMap(e => Option(e.getOrElse("bloom_paths", null)))
       .map(_.asInstanceOf[java.util.List[String]].asScala.toArray)
       .getOrElse(Array.empty[String])
+
+  /** The committed manifest entry for `round`, if any — the time-travel
+    * lookup [[graft.crawl.CrawlEngine.seenAsOf]] and [[expireRounds]]'
+    * reference-set computation share. */
+  def entryFor(round: Int): Option[Map[String, Any]] =
+    readManifest().find(_("round").asInstanceOf[Number].intValue() == round)
+
+  /** Every data file/dir a manifest entry references (all fully
+    * qualified): its seen files, current bloom shard files (which may
+    * live under OLDER rounds' dirs — untouched shards are never copied),
+    * live tombstones, the live host-ready snapshot (a retire round points
+    * at its parent's file) and the round's own frontier. Exactly the set
+    * a resume from that round reads. */
+  private def referencedPaths(entry: Map[String, Any]): Seq[String] = {
+    val r = entry("round").asInstanceOf[Number].intValue()
+    def strList(k: String): Seq[String] =
+      Option(entry.getOrElse(k, null))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(_ != null)
+    val hostReady = Option(entry.getOrElse("hostready_path", null))
+      .map(_.asInstanceOf[String]).getOrElse(hostReadyPath(r))
+    (strList("seen_paths") ++ strList("bloom_paths") ++
+      strList("tombstone_paths") ++ Seq(hostReady, frontierPath(r))).map(qualified)
+  }
+
+  /** Expire old rounds' unreferenced data files — the Iceberg
+    * `expire_snapshots` analogue, and the operation that makes a
+    * long-lived crawl's storage O(live state + fetch logs) instead of
+    * O(rounds × state): every round commits a frontier, a seen delta, a
+    * host-ready snapshot and updated bloom shard files, and without
+    * expiry a 1000-round crawl keeps every superseded version forever.
+    *
+    * Keeps, and never touches:
+    *  - every round's `fetchlog/` — the crawl's OUTPUT (the span/order
+    *    invariant BASELINE.json:15 is computed from the full log; a
+    *    deployment archives or ETLs these independently of crawl state);
+    *  - every file referenced by the last `keepLast` committed rounds
+    *    ([[referencedPaths]]) — so the live round (and any older kept
+    *    round) stays fully resumable;
+    *  - the manifest itself — the complete per-round lineage + metrics
+    *    history stays queryable after expiry (only DATA files expire),
+    *    matching Iceberg's expire-snapshots contract.
+    *
+    * Deletes, for every committed round older than the keep window: the
+    * `frontier/`, `seen_delta/`, `seen_base/`, `hostready/` and
+    * `tombstones/` dirs not referenced by a kept round, and individual
+    * unreferenced bloom shard files (a kept round's bloom_paths may point
+    * INTO an old round's blooms dir — those files survive, the rest of
+    * the dir goes). Rounds outside the keep window are no longer
+    * resumable afterwards — resume() targets the LAST round, which is
+    * always kept.
+    *
+    * `removeOrphans=true` additionally deletes round dirs with NO
+    * manifest entry (leftovers of a crashed, never-committed round —
+    * already invisible to every reader by the atomic-commit contract).
+    * Off by default: an orphan dir above the last committed round may be
+    * a CONCURRENT crawl's in-flight round; only enable on a quiesced
+    * snapshot root.
+    *
+    * Returns the number of deleted paths (dirs count as one). */
+  def expireRounds(keepLast: Int = 1, removeOrphans: Boolean = false): Long = {
+    require(keepLast >= 1, s"keepLast=$keepLast — must keep at least the live round")
+    val manifest = readManifest()
+    if (manifest.isEmpty) return 0L
+    def roundOf(e: Map[String, Any]): Int = e("round").asInstanceOf[Number].intValue()
+    val kept = manifest.takeRight(keepLast)
+    val minKept = roundOf(kept.head)
+    val committed = manifest.map(roundOf).toSet
+    val refs: Set[String] = kept.flatMap(referencedPaths).toSet
+    var deleted = 0L
+    def drop(p: Path): Unit = { fs.delete(p, true); deleted += 1 }
+    val rootPath = new Path(root)
+    val roundDirs =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("round="))
+    for (rd <- roundDirs) {
+      val r = rd.getName.stripPrefix("round=").toIntOption.getOrElse(-1)
+      if (r >= 0 && !committed.contains(r)) {
+        if (removeOrphans) drop(rd)
+      } else if (r >= 0 && r < minKept) {
+        for (sub <- Seq("frontier", "seen_delta", "seen_base", "hostready", "tombstones")) {
+          val p = new Path(rd, sub)
+          if (fs.exists(p) && !refs(qualified(p.toString))) drop(p)
+        }
+        val blooms = new Path(rd, "blooms")
+        if (fs.exists(blooms)) {
+          val files = fs.listStatus(blooms).toSeq.map(_.getPath)
+          files.filterNot(f => refs(qualified(f.toString))).foreach(drop)
+          if (fs.listStatus(blooms).isEmpty) { fs.delete(blooms, true); () }
+        }
+      }
+    }
+    deleted
+  }
 }
 
 object SnapshotStore {
