@@ -59,4 +59,19 @@ final case class CrawlConfig(
     * wide≡skinny crawl equality is pinned in CrawlEngineSpec.
     * Ignored (wide) under typedHeapScheduler, which needs the string
     * in its typed rows. */
-  skinnySchedule: Boolean = false)
+  skinnySchedule: Boolean = false,
+  /** Auto-expire superseded snapshot data files every this many rounds
+    * (0 = never — expiry stays a manual [[SnapshotStore.expireRounds]]
+    * call). Without expiry a 1000-round crawl keeps every superseded
+    * frontier/delta/host-ready/bloom version forever: storage
+    * O(rounds × state) instead of O(live state + fetch logs). Runs on
+    * the pipelined round tail right after the commit, so it costs the
+    * critical path nothing. */
+  expireEveryRounds: Int = 0,
+  /** Rounds kept fully resumable by auto-expiry. MUST be ≥ 2 inside a
+    * running crawl: the in-flight round's persisted frames (schedAll,
+    * fetched) derive from the PREVIOUS round's frontier file, and a
+    * cache-eviction recompute after an executor loss would re-scan it —
+    * keepLast=1 would have deleted it. (Offline expireRounds calls on a
+    * quiesced snapshot may use keepLast=1.) */
+  expireKeepLast: Int = 2)

@@ -834,6 +834,16 @@ final class CrawlEngine(
         // every consumer of this round's caches has landed — release them
         roundCaches.foreach(_.unpersist())
         probeCleanup() // release the bloom probe-stage cache
+        // auto-expiry (opt-in): drop superseded data files now that the
+        // round is committed and its caches are released. keepLast ≥ 2
+        // keeps the in-flight round's recompute lineage (previous
+        // frontier) on disk — see CrawlConfig.expireKeepLast.
+        if (cfg.expireEveryRounds > 0 && next % cfg.expireEveryRounds == 0) {
+          require(cfg.expireKeepLast >= 2,
+            s"expireKeepLast=${cfg.expireKeepLast}: a running crawl must " +
+              "keep >= 2 rounds (in-flight cache recompute lineage)")
+          store.expireRounds(keepLast = cfg.expireKeepLast)
+        }
         SeenState(paths, base, nextReader, tombPaths)
       }
       frontierReady = frontierFut

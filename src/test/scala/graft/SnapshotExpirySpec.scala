@@ -131,6 +131,26 @@ class SnapshotExpirySpec extends SparkTestBase {
     assert(!seenBefore.values.exists { case (u, _) => graft.urls.UrlCanon.hostOf(u) == h })
   }
 
+  test("auto-expiry inside the crawl loop (expireEveryRounds) changes nothing " +
+      "and sheds old state as it goes") {
+    val root = snapDir("auto-expire")
+    val e = new CrawlEngine(spark, fixtureDir, root,
+      cfg.copy(expireEveryRounds = 3, expireKeepLast = 2))
+    e.runFresh()
+    // crawl identical to the never-expired reference
+    assert(collectLog(e) == collectLog(full))
+    assert(collectSeen(e.seen()) == collectSeen(full.seen()))
+    // early superseded state is gone without any manual expire call
+    assert(!e.store.exists(e.store.frontierPath(0)))
+    assert(!e.store.exists(e.store.seenDeltaPath(0)))
+    // and a resume on the auto-expired snapshot still works (no-op here —
+    // frontier is empty — but it must read the live state cleanly)
+    val e2 = new CrawlEngine(spark, fixtureDir, root,
+      cfg.copy(expireEveryRounds = 3, expireKeepLast = 2))
+    e2.resume()
+    assert(collectLog(e2) == collectLog(full))
+  }
+
   test("orphan (never-committed) round dirs are kept by default and removed " +
       "with removeOrphans=true") {
     val root = snapDir("expire-orphan")
