@@ -173,6 +173,7 @@ object SeenSet {
     val updated = hashes.select(col("url_hash")).as[Long]
       .groupByKey(h => SeenSet.shardOf(h, P))
       .mapGroups { (pid, it) =>
+        FaultInjection.maybeFail("shards.pre")
         val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
         val prevPath = bcPrev.value(pid)
         val bf =
@@ -197,6 +198,9 @@ object SeenSet {
         try bf.writeTo(out) finally out.close()
         require(fs.rename(tmp, new HPath(s"$outDir/$name")),
           s"shard rename failed: $tmp -> $outDir/$name")
+        // side effect complete — a failure HERE is the hard retry case:
+        // the renamed file must stay an unreferenced orphan
+        FaultInjection.maybeFail("shards.post")
         (pid, n, s"$outDir/$name")
       }
       .collect()
@@ -225,6 +229,7 @@ object SeenSet {
     val updated = hashes.select(col("url_hash")).as[Long]
       .groupByKey(h => SeenSet.shardOf(h, P))
       .mapGroups { (pid, it) =>
+        FaultInjection.maybeFail("retire.pre")
         val fs = new HPath(outDir).getFileSystem(bcConf.value.value)
         val prevPath = bcPrev.value(pid)
         if (prevPath == null) (pid, null.asInstanceOf[String]) // never written: nothing to delete
@@ -242,6 +247,8 @@ object SeenSet {
           try bf.writeTo(out) finally out.close()
           require(fs.rename(tmp, new HPath(s"$outDir/$name")),
             s"shard rename failed: $tmp -> $outDir/$name")
+          // retry-after-side-effect case, mirror of buildShards
+          FaultInjection.maybeFail("retire.post")
           (pid, s"$outDir/$name")
         }
       }
