@@ -88,9 +88,90 @@ object ClusterCheck {
     mode match {
       case "check" => check(executors, coresPer, memMb)
       case "bench" => bench(executors, coresPer, memMb)
-      case other => sys.error(s"unknown mode: $other (check|bench)")
+      case "kill" => killCheck(executors, coresPer, memMb)
+      case other => sys.error(s"unknown mode: $other (check|bench|kill)")
     }
   }
+
+  /** Executor-LOSS resilience: run the Smoke crawl under local-cluster and
+    * SIGKILL one executor JVM the moment round 2 commits — mid-crawl, with
+    * cached blocks, registered shuffle outputs and (likely) in-flight tasks
+    * on the victim. This is the failure mode task-retry injection
+    * ([[graft.FaultCheck]]) cannot reach: the dead JVM takes its block-
+    * manager state with it, so Spark must re-run lost tasks on the
+    * survivor, recompute lost cached partitions from lineage (the previous
+    * round's frontier file — which is why the expiry keep-window guard
+    * exists), re-read bloom shards the dead JVM built (shared-FS files
+    * survive their writer), and the standalone master must replace the
+    * executor. The crawl must still finish byte-identical to the
+    * sequential oracle. */
+  private def killCheck(executors: Int, coresPer: Int, memMb: Int): Unit = {
+    require(executors >= 2, "kill mode needs >= 2 executors (one survivor)")
+    val spark = session(executors, coresPer, memMb, shufflePartitions = 8)
+    try {
+      val fixtureDir = CorpusGen.ensure(spark, CorpusGen.Smoke)
+      val cfg = CrawlConfig(maxDepth = 10, perHostPerRound = 25, partitions = 8,
+        bloomShardCapacity = 50000L)
+      val snap = "target/cluster-check/snap-kill"
+      new CrawlEngine(spark, fixtureDir, snap, cfg).store.wipe()
+      val engine = new CrawlEngine(spark, fixtureDir, snap, cfg)
+
+      val killedPid = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val roundsAtKill = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val watcher = new Thread(() => {
+        // wait for mid-crawl (round 2 committed: caches warm, shards live,
+        // round 3 about to schedule), then SIGKILL one executor JVM
+        while (engine.store.committedRounds().size < 2) Thread.sleep(100)
+        import scala.jdk.CollectionConverters._
+        val victim = ProcessHandle.current().descendants().iterator().asScala
+          .find(_.info().commandLine().map[Boolean](
+            _.contains("CoarseGrainedExecutorBackend")).orElse(false))
+        victim.foreach { v =>
+          val pid = v.pid()
+          roundsAtKill.set(engine.store.committedRounds().size)
+          if (v.destroyForcibly()) killedPid.set(pid)
+        }
+      }, "executor-killer")
+      watcher.setDaemon(true)
+      watcher.start()
+
+      engine.runFresh()
+      watcher.join(10000)
+      require(killedPid.get() > 0,
+        "no executor JVM was killed — the crawl finished before round 2 " +
+          "committed or no CoarseGrainedExecutorBackend child was found")
+      val roundsAfter = engine.store.committedRounds().size
+      require(roundsAfter >= roundsAtKill.get() + 3,
+        s"kill landed too late to prove recovery: ${roundsAtKill.get()} rounds " +
+          s"committed at kill, only $roundsAfter total — the victim's lost " +
+          "caches/shards were never needed again")
+
+      val corpus = CorpusGen.build(CorpusGen.Smoke)
+      val want = new CrawlOracle(corpus, cfg).run()
+      val got = fetchLogRows(engine)
+      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
+        f.round, f.rn, f.fetchTs, f.status, f.docId))
+      require(got == wantLog,
+        s"fetch log mismatch after executor kill: got=${got.size} " +
+          s"want=${wantLog.size} rows; first diff: " +
+          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
+      val gotSeen = engine.seen().collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      require(gotSeen == want.seen,
+        s"seen-set mismatch after executor kill: got=${gotSeen.size} want=${want.seen.size}")
+      println(s"CLUSTER-KILL OK executors=$executors coresPer=$coresPer " +
+        s"killed_pid=${killedPid.get()} fetched=${got.size} seen=${gotSeen.size} " +
+        "byte-identical to the sequential oracle")
+    } finally spark.stop()
+  }
+
+  private def fetchLogRows(engine: CrawlEngine) =
+    engine.fetchLog()
+      .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
+        "fetch_ts", "status", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
+      .sortBy(_._1).toVector
 
   private def check(executors: Int, coresPer: Int, memMb: Int): Unit = {
     val spark = session(executors, coresPer, memMb, shufflePartitions = 8)
@@ -104,12 +185,7 @@ object ClusterCheck {
 
       val corpus = CorpusGen.build(CorpusGen.Smoke)
       val want = new CrawlOracle(corpus, cfg).run()
-      val got = engine.fetchLog()
-        .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
-          "fetch_ts", "status", "doc_id")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
-          r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
-        .sortBy(_._1).toVector
+      val got = fetchLogRows(engine)
       val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
         f.round, f.rn, f.fetchTs, f.status, f.docId))
       require(got == wantLog,

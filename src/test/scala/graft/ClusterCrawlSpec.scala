@@ -11,13 +11,29 @@ import java.util.concurrent.TimeUnit
   * serialization, broadcast transport, netty shuffle between processes,
   * and executors reading bloom-shard files a different JVM wrote.
   *
-  * A subprocess (not a session swap in this JVM) because a JVM allows one
+  * The `kill` test goes further: SIGKILL one executor JVM mid-crawl
+  * (round 2 committed — cached blocks, live shards, in-flight work on the
+  * victim) and require the crawl to finish byte-identical anyway, with at
+  * least 3 more rounds committed after the kill so the lost state was
+  * genuinely needed again (lineage recompute off the previous round's
+  * frontier file, cross-JVM re-reads of the dead executor's shard files).
+  *
+  * Subprocesses (not session swaps in this JVM) because a JVM allows one
   * SparkContext at a time and every other suite shares SparkTestBase's
   * local[8] session. */
 class ClusterCrawlSpec extends AnyFunSuite {
 
   test("crawl + retire/resume equality vs the oracle under " +
       "local-cluster[2,4] (two executor JVMs)") {
+    runClusterCheck("check", "CLUSTER-CHECK OK")
+  }
+
+  test("crawl equality vs the oracle with one executor JVM SIGKILLed " +
+      "mid-crawl (executor loss, cache/shard recovery)") {
+    runClusterCheck("kill", "CLUSTER-KILL OK")
+  }
+
+  private def runClusterCheck(mode: String, okMarker: String): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -32,8 +48,8 @@ class ClusterCrawlSpec extends AnyFunSuite {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp, "graft.ClusterCheck", "2", "4", "2048", "check")
-    val log = new java.io.File("target/cluster-check/check.log")
+      "-cp", cp, "graft.ClusterCheck", "2", "4", "2048", mode)
+    val log = new java.io.File(s"target/cluster-check/$mode.log")
     log.getParentFile.mkdirs()
     val pb = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
@@ -46,11 +62,11 @@ class ClusterCrawlSpec extends AnyFunSuite {
     val finished = p.waitFor(10, TimeUnit.MINUTES)
     if (!finished) {
       p.destroyForcibly()
-      fail(s"ClusterCheck timed out; log tail:\n${tail(log)}")
+      fail(s"ClusterCheck $mode timed out; log tail:\n${tail(log)}")
     }
     assert(p.exitValue() == 0,
-      s"ClusterCheck exited ${p.exitValue()}; log tail:\n${tail(log)}")
-    assert(tail(log).contains("CLUSTER-CHECK OK"), s"log tail:\n${tail(log)}")
+      s"ClusterCheck $mode exited ${p.exitValue()}; log tail:\n${tail(log)}")
+    assert(tail(log).contains(okMarker), s"log tail:\n${tail(log)}")
   }
 
   private def tail(f: java.io.File): String = {
