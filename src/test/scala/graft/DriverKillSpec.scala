@@ -1,0 +1,110 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.oracle.CrawlOracle
+import org.apache.hadoop.fs.{Path => HPath}
+import java.util.concurrent.TimeUnit
+
+/** DRIVER-loss recovery: the last row of the fault matrix (task retry →
+  * FaultCheck, executor loss → ClusterCheck kill, duplicate attempts →
+  * ConcurrentAttemptSpec). The driver is the one process Spark does NOT
+  * restart for you; at 100 TB the recovery story for a dead driver is
+  * "start a new driver, point it at the snapshot root, resume" — the
+  * manifest is the only state that matters, and a SIGKILL can land
+  * anywhere: mid-round, mid-write, even mid-commit.
+  *
+  * This spec runs the real spark-submit entry point ([[CrawlMain]]) in a
+  * subprocess, SIGKILLs the whole JVM the instant round 3 commits (round
+  * 4's writes are in flight — torn parquet and an uncommitted round dir
+  * are expected debris), then resumes IN A DIFFERENT JVM (the shared test
+  * session) over the same snapshot root and requires the completed crawl
+  * byte-identical to the sequential oracle, with post-kill progress
+  * verified (the resume did real rounds, not a no-op). */
+class DriverKillSpec extends SparkTestBase {
+
+  test("SIGKILL the whole driver JVM mid-crawl; a fresh driver resumes " +
+      "from the manifest and equals the sequential oracle") {
+    // generate the fixture from THIS process first so the subprocess
+    // never races the generator
+    val fixtureDir = CorpusGen.ensure(spark, CorpusGen.Smoke)
+    val cfg = CrawlConfig(maxDepth = 10, perHostPerRound = 25, partitions = 8)
+    val snap = "target/driver-kill/snap"
+    val fs = new HPath(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(snap), true)
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.CrawlMain", "/root/testdata/sf0.001", snap, "fresh")
+    val log = new java.io.File("target/driver-kill/crawl.log")
+    log.getParentFile.mkdirs()
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+    pb.environment().put("SPARK_GRAFT_MAX_DEPTH", cfg.maxDepth.toString)
+    pb.environment().put("SPARK_GRAFT_PER_HOST", cfg.perHostPerRound.toString)
+    pb.environment().put("SPARK_GRAFT_PARTITIONS", cfg.partitions.toString)
+    val p = pb.start()
+
+    // poll the manifest from OUTSIDE the dying JVM; kill the instant
+    // round 3 is committed — round 4 is then mid-flight
+    val store = new CrawlEngine(spark, fixtureDir, snap, cfg).store
+    val deadline = System.nanoTime() + TimeUnit.MINUTES.toNanos(5)
+    var rounds = 0
+    while (rounds < 3 && p.isAlive && System.nanoTime() < deadline) {
+      rounds = store.committedRounds().size
+      if (rounds < 3) Thread.sleep(50)
+    }
+    assert(p.isAlive,
+      s"driver exited before round 3 committed (rounds=$rounds); log tail:\n${tail(log)}")
+    val roundsAtKill = store.committedRounds().size
+    p.destroyForcibly()
+    p.waitFor(30, TimeUnit.SECONDS)
+    assert(roundsAtKill >= 3, s"kill raced the poll: $roundsAtKill rounds")
+
+    // a fresh "driver" (this JVM) resumes over the snapshot root
+    val engine = new CrawlEngine(spark, fixtureDir, snap, cfg)
+    engine.resume()
+    val roundsAfter = store.committedRounds().size
+    assert(roundsAfter > roundsAtKill,
+      s"resume made no progress: $roundsAtKill rounds at kill, $roundsAfter after")
+
+    val corpus = CorpusGen.build(CorpusGen.Smoke)
+    val want = new CrawlOracle(corpus, cfg).run()
+    val got = engine.fetchLog()
+      .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
+        "fetch_ts", "status", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
+      .sortBy(_._1).toVector
+    val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
+      f.round, f.rn, f.fetchTs, f.status, f.docId))
+    assert(got == wantLog,
+      s"fetch log mismatch after driver kill + resume: got=${got.size} " +
+        s"want=${wantLog.size}; first diff: " +
+        got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
+    val gotSeen = engine.seen().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(gotSeen == want.seen,
+      s"seen-set mismatch after driver kill + resume: got=${gotSeen.size} want=${want.seen.size}")
+    info(s"killed at $roundsAtKill committed rounds, resumed to $roundsAfter; " +
+      s"fetched=${got.size} seen=${gotSeen.size} — byte-identical to the oracle")
+  }
+
+  private def tail(f: java.io.File): String = {
+    val s = java.nio.file.Files.readString(f.toPath)
+    s.substring(math.max(0, s.length - 4000))
+  }
+}
