@@ -145,10 +145,29 @@ final class SnapshotStore(rootSpec: String,
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Whole-file read, retrying torn reads. On a checksummed FS
+    * (LocalFileSystem keeps `.crc` siblings) the rename-mode committer
+    * replaces the data file and its checksum sibling in TWO separate
+    * renames, so a reader racing a live commit can observe new data
+    * against the old checksum and get a ChecksumException — found by
+    * DriverKillSpec's manifest poll against a crawling subprocess. The
+    * committed content itself is never torn (rename swaps whole files),
+    * so a short-pause retry re-reads a consistent pair; a persistent
+    * mismatch (real corruption) still surfaces after the retries. */
   private def readFileText(p: Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Committed manifest entries as raw JSON lines, in round order.
@@ -173,11 +192,14 @@ final class SnapshotStore(rootSpec: String,
         .sortBy(_.getName)
       val seenRounds = scala.collection.mutable.Set.empty[Int]
       files.flatMap { p =>
-        val text = readFileText(p).trim
-        val round =
-          try Some(mapper.readTree(text).get("round").asInt())
-          catch { case _: Exception => None } // torn/in-flight PUT: not committed
-        round.filter(seenRounds.add).map(_ => text)
+        // torn/in-flight PUT (unparseable, or persistently checksum-torn
+        // because the writer is mid-create): simply not committed yet
+        val parsed =
+          try {
+            val text = readFileText(p).trim
+            Some((text, mapper.readTree(text).get("round").asInt()))
+          } catch { case _: Exception => None }
+        parsed.collect { case (text, round) if seenRounds.add(round) => text }
       }
     case _ =>
       if (!fs.exists(manifestPath)) {

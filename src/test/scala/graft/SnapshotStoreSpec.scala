@@ -139,4 +139,36 @@ class SnapshotStoreSpec extends AnyFunSuite {
       confWith("graft.snapshot.commit.mode" -> "log"))
     intercept[IllegalArgumentException] { ls2.lastCommitted() }
   }
+
+  test("rename mode: a reader racing a live commit's data/.crc rename " +
+      "window retries past the ChecksumException; persistent corruption " +
+      "still surfaces") {
+    // On a checksummed FS the committer's rename swaps manifest.jsonl and
+    // its .crc sibling in TWO renames; a concurrent reader can see new
+    // data against the old checksum (found live by DriverKillSpec's
+    // manifest poll). Model the window deterministically: corrupt the
+    // data bytes under the stale .crc, heal them mid-retry.
+    val root = freshDir("crcrace")
+    val store = new SnapshotStore(root, confWith())
+    store.commit(entry(store, 0, Seq.empty))
+    val dataFile = java.nio.file.Paths.get(root, "manifest.jsonl")
+    val original = java.nio.file.Files.readAllBytes(dataFile)
+    val torn = original.clone(); torn(0) = (torn(0) ^ 0x7).toByte
+    java.nio.file.Files.write(dataFile, torn) // raw write: .crc now stale
+
+    val healer = new Thread(() => {
+      Thread.sleep(60) // inside the reader's retry window (20+40+... ms)
+      java.nio.file.Files.write(dataFile, original)
+    })
+    healer.start()
+    assert(store.committedRounds() == Seq(0),
+      "reader must ride out the commit's checksum window")
+    healer.join()
+
+    java.nio.file.Files.write(dataFile, torn) // corrupt again, no healer
+    intercept[org.apache.hadoop.fs.ChecksumException] {
+      store.committedRounds() // bounded retries, then the truth
+    }
+    java.nio.file.Files.write(dataFile, original)
+  }
 }
