@@ -49,4 +49,59 @@ class FrontierStreamSpec extends SparkTestBase {
       assert(rows.exists(_.getAs[Long]("n_discovered") == 2L), rows.mkString(","))
     } finally query.stop()
   }
+
+  test("dedup state survives a query restart from the checkpoint: URLs " +
+      "seen before the stop are still suppressed after") {
+    // The streaming side of the fault matrix: a streaming crawl's driver
+    // dies and a new query restarts from checkpointLocation. A replayable
+    // FILE source (MemoryStream can't recover across queries), a real
+    // parquet sink (its own commit log gives exactly-once output), and
+    // flatMapGroupsWithState state in the HDFS-backed store.
+    val base = new java.io.File("target/stream-restart")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckDir = new java.io.File(base, "ck").getAbsolutePath
+
+    def writeFile(name: String, rows: Seq[Discovery]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(s"${srcDir.getAbsolutePath}/$name")
+
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Discovery]].schema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches per phase
+        .parquet(s"${srcDir.getAbsolutePath}/*")
+        .as[Discovery]
+      FrontierStream.dedupStream(spark, src, shards = 4)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    def emitted(): Seq[String] =
+      spark.read.parquet(outDir).as[NewUrl].collect().map(_.url_canon).toSeq.sorted
+
+    val a = Seq(disc("https://a.example/p1", 1000), disc("https://a.example/p2", 2000))
+    val b = Seq(disc("https://a.example/p2", 3000), disc("https://a.example/p3", 4000))
+    writeFile("a", a)
+    writeFile("b", b)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted() == Seq("https://a.example/p1", "https://a.example/p2",
+      "https://a.example/p3"))
+
+    // "new driver": duplicates of URLs from BEFORE the stop plus one new —
+    // only the new one may come out, i.e. the seen state was recovered
+    // from the checkpoint, not rebuilt empty
+    writeFile("c", Seq(disc("https://a.example/p1", 5000),
+      disc("https://a.example/p3", 6000), disc("https://a.example/p4", 7000)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(emitted() == Seq("https://a.example/p1", "https://a.example/p2",
+      "https://a.example/p3", "https://a.example/p4"),
+      "restart re-emitted an already-seen URL: state was not recovered")
+  }
 }
