@@ -50,14 +50,29 @@ class FrontierStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
-  test("dedup state survives a query restart from the checkpoint: URLs " +
-      "seen before the stop are still suppressed after") {
+  for ((provider, tag) <- Seq(
+    (null, "hdfs-backed"), // session default
+    ("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "rocksdb"))) // the 10^7+-key provider the scaladoc points production at
+  test(s"dedup state survives a query restart from the checkpoint ($tag " +
+      "store): URLs seen before the stop are still suppressed after") {
     // The streaming side of the fault matrix: a streaming crawl's driver
     // dies and a new query restarts from checkpointLocation. A replayable
     // FILE source (MemoryStream can't recover across queries), a real
     // parquet sink (its own commit log gives exactly-once output), and
-    // flatMapGroupsWithState state in the HDFS-backed store.
-    val base = new java.io.File("target/stream-restart")
+    // flatMapGroupsWithState state in the configured state store.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    if (provider != null) spark.conf.set(providerKey, provider)
+    try restartRoundTrip(s"target/stream-restart-$tag")
+    finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def restartRoundTrip(baseDir: String): Unit = {
+    val base = new java.io.File(baseDir)
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
     val outDir = new java.io.File(base, "out").getAbsolutePath
