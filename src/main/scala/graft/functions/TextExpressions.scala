@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen text kernels for the dedup family.
+  *
+  * The MinHash signature pipeline (q24/q25, and the shape every
+  * shingle-dedup job at corpus scale runs per document) was staged as
+  * FOUR higher-order-function projections — shingles, md5-as-hex,
+  * conv(substring) × 2 into structs, then k × array_min(transform) —
+  * all interpreted, each materializing an intermediate array per row,
+  * with the digest round-tripped through hex strings and base-10
+  * conversion. At 10^9 documents that is the hot kernel of the dedup
+  * pipeline. [[TextRT.minhashSigs]] computes the identical values in
+  * ONE pass: word bytes are extracted once, each 3-shingle is digested
+  * directly (word bytes + 0x20 joins — no shingle string is ever
+  * built), a/b are read straight off the digest bytes, and the k
+  * running minima update in place.
+  *
+  * Value contract (pinned by MinhashSigsSpec equality vs the HOF form,
+  * and by q24/q25's DuckDB oracle): md5 over the UTF-8 shingle string
+  * "w1 w2 w3"; `a` = hex chars 1-14 = digest bytes 0..6 big-endian,
+  * `b` = hex chars 17-30 = digest bytes 8..14 big-endian; signature j
+  * is min over shingles of a + j*b (Long wrap-around arithmetic, same
+  * as the former ANSI-safe < 2^59 values); fewer than 3 words → one
+  * shingle of all words space-joined (shingles3's `otherwise` branch).
+  */
+object TextRT {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SP: Byte = ' '.toByte
+
+  def minhashSigs(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = md5.get()
+    val sigs = Array.fill(k)(Long.MaxValue)
+
+    def fold(digest: Array[Byte]): Unit = {
+      var a = 0L; var b = 0L
+      var t = 0
+      while (t < 7) {
+        a = (a << 8) | (digest(t) & 0xFFL)
+        b = (b << 8) | (digest(t + 8) & 0xFFL)
+        t += 1
+      }
+      var j = 0; var h = a
+      while (j < k) { if (h < sigs(j)) sigs(j) = h; h += b; j += 1 }
+    }
+
+    if (n >= 3) {
+      var s = 0
+      while (s <= n - 3) {
+        md.reset()
+        md.update(wb(s)); md.update(SP)
+        md.update(wb(s + 1)); md.update(SP)
+        md.update(wb(s + 2))
+        fold(md.digest())
+        s += 1
+      }
+    } else {
+      md.reset()
+      var w = 0
+      while (w < n) { if (w > 0) md.update(SP); md.update(wb(w)); w += 1 }
+      fold(md.digest())
+    }
+    new GenericArrayData(sigs.map(x => x: Any))
+  }
+}
+
+/** `minhash_sigs(words, k)` over an `array<string>` word column →
+  * `array<long>` of k signatures. */
+case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(ws: Any): Any =
+    TextRT.minhashSigs(ws.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.TextRT.minhashSigs($w, $k)")
+  override protected def withNewChildInternal(c: Expression): MinhashSigs =
+    copy(child = c)
+}

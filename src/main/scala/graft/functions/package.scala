@@ -69,4 +69,9 @@ package object functions {
   /** The nprobe nearest cell ids by (dist2, cid). */
   def probe_cells(vec: Column, cents: Array[(Int, Array[Double])], nprobe: Int): Column =
     Shim.col(ProbeCells(Shim.expr(vec), cents.map(_._1), cents.map(_._2), nprobe))
+
+  /** k MinHash signatures over word-3-shingles in one codegen pass —
+    * see [[TextExpressions]]. */
+  def minhash_sigs(words: Column, k: Int): Column =
+    Shim.col(MinhashSigs(Shim.expr(words), k))
 }

@@ -65,14 +65,25 @@ object TextOps {
     * Kirsch–Mitzenmacher). 56-bit halves keep a + 7b < 2^59, safe under
     * ANSI LongType.
     *
-    * Deliberately STAGED as several small projections: a single
-    * expression with the md5/conv subtree inlined 8–16× generated
-    * whole-stage code big enough that janino compilation alone cost
-    * ~70 s at the bench tier (the round-1 q25 wall time was compile
-    * time, not data). The `__ab` intermediate is referenced 8× so
-    * CollapseProject keeps the stages separate.
-    */
+    * Round 4: ONE codegen pass ([[graft.functions.TextRT.minhashSigs]])
+    * replacing four interpreted HOF projections — word bytes extracted
+    * once, shingles digested directly (no shingle strings, no hex
+    * round-trip, no per-element lambda dispatch), k minima updated in
+    * place. Values are pinned bit-identical to the previous staged HOF
+    * form ([[minhashSigsHofForm]], kept as the in-repo oracle for
+    * MinhashSigsSpec's equality property test) and to q24/q25's DuckDB
+    * SQL. */
   private def withMinhashSigs(df: DataFrame, text: Column, k: Int, out: String): DataFrame =
+    df.withColumn(out, graft.functions.minhash_sigs(words(text), k))
+
+  /** The pre-round-4 staged-HOF signature pipeline, kept ONLY as the
+    * independent oracle for the codegen kernel's equality test. Staged
+    * as several small projections on purpose: the md5/conv subtree
+    * inlined 8–16× made janino compilation alone ~70 s at the bench
+    * tier; `__ab` is referenced 8× so CollapseProject keeps the stages
+    * separate. */
+  private[graft] def minhashSigsHofForm(df: DataFrame, text: Column, k: Int,
+                                        out: String): DataFrame =
     df.withColumn("__ws", words(text))
       .withColumn("__sh", shingles3(col("__ws")))
       .withColumn("__m", transform(col("__sh"), x => md5(x)))

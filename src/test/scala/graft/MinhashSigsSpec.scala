@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+
+/** Pins the one-pass codegen MinHash kernel
+  * (graft.functions.TextRT.minhashSigs) bit-identical to the staged
+  * higher-order-function pipeline it replaced
+  * (TextOps.minhashSigsHofForm — kept in-repo as this oracle), across
+  * generated texts and the word-count edge cases (0/1/2 words take
+  * shingles3's `otherwise` branch: ONE shingle of all words joined). */
+class MinhashSigsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bothForms(texts: Seq[String], k: Int): Unit = {
+    val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+    val hof = TextOps.minhashSigsHofForm(df, col("text"), k, "sigs")
+      .select(col("id"), col("sigs").cast("array<long>").as("sigs"))
+    val gen = df.select(col("id"),
+      graft.functions.minhash_sigs(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0)), k).as("sigs"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val g = gen.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h.keySet == g.keySet)
+    for ((id, hs) <- h)
+      assert(g(id) == hs,
+        s"sig mismatch for text '${texts(id.toInt)}': hof=$hs codegen=${g(id)}")
+  }
+
+  test("codegen minhash_sigs equals the staged HOF form on edge cases") {
+    bothForms(Seq(
+      "",                        // 0 words → md5("")
+      "  --  ",                  // 0 words after the regexp
+      "one",                     // 1 word
+      "two words",               // 2 words
+      "now three words",         // exactly one shingle
+      "a b c d e f g",           // several shingles
+      "Mixed CASE And 42 numbers 42 repeated 42",
+      "unicode außen привет 漢字 kept-out by the regexp but splits tokens",
+      ("lorem ipsum dolor sit amet " * 50).trim, // long doc, repeated shingles
+    ), k = 8)
+  }
+
+  test("codegen minhash_sigs equals the staged HOF form on 300 generated texts") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "x1",
+      "y2", "z3", "lorem", "ipsum", "dolor", "sit", "amet", "0", "42")
+    val texts = (0 until 300).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    bothForms(texts, k = 8)
+    bothForms(texts.take(50), k = 3) // a different k: the j-loop bound
+  }
+}
