@@ -35,6 +35,37 @@ object TextRT {
   }
   private val SP: Byte = ' '.toByte
 
+  /** 32-bit SimHash over a word multiset: per word, h = md5's first 4
+    * bytes big-endian (= hex chars 1-8 as a base-16 BIGINT, the q26
+    * formula); each of the 32 bit positions accumulates +1/−1 by bit i
+    * of h; output bit i set iff its count is strictly positive. The
+    * former q26 shape EXPLODED words × 32 bit-rows through two shuffled
+    * aggregations — a 32·|words| row blow-up per document that this
+    * kernel replaces with one pass and zero shuffles. */
+  def simhash32(words: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val md = md5.get()
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      md.reset()
+      val digest = md.digest(words.getUTF8String(w).getBytes)
+      var h = 0L
+      var t = 0
+      while (t < 4) { h = (h << 8) | (digest(t) & 0xFFL); t += 1 }
+      var i = 0
+      while (i < 32) {
+        if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 32) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
   def minhashSigs(words: ArrayData, k: Int): ArrayData = {
     val n = words.numElements()
     val wb = new Array[Array[Byte]](n)
@@ -77,6 +108,18 @@ object TextRT {
 
 /** `minhash_sigs(words, k)` over an `array<string>` word column →
   * `array<long>` of k signatures. */
+/** `simhash32(words)` over an `array<string>` word column → LongType. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(ws: Any): Any =
+    TextRT.simhash32(ws.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.TextRT.simhash32($w)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
 case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"k must be >= 1: $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

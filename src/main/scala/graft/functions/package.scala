@@ -74,4 +74,8 @@ package object functions {
     * see [[TextExpressions]]. */
   def minhash_sigs(words: Column, k: Int): Column =
     Shim.col(MinhashSigs(Shim.expr(words), k))
+
+  /** 32-bit SimHash over a word multiset in one codegen pass. */
+  def simhash32(words: Column): Column =
+    Shim.col(SimHash32(Shim.expr(words)))
 }

@@ -229,18 +229,20 @@ object TextOps {
       out
     }),
 
-    // SimHash (32-bit, md5-derived word hashes, multiset weighting)
+    // SimHash (32-bit, md5-derived word hashes, multiset weighting) —
+    // round 4: one codegen pass per document (TextRT.simhash32). The
+    // previous form exploded words × 32 bit-rows through TWO shuffled
+    // aggregations — a 32·|words| row blow-up per document that is the
+    // difference between a map-only job and a shuffle-bound one at
+    // corpus scale. The empty-word-set filter mirrors the old explode
+    // (and the oracle's unnest), which dropped such docs. Values pinned
+    // bit-identical to the exploded form by MinhashSigsSpec and to the
+    // unchanged DuckDB oracle.
     "q26_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
-        .withColumn("c", when(expr("(shiftright(h, i) & 1)") === 1, 1L).otherwise(-1L))
-        .groupBy("doc_id", "i")
-        .agg(sum(col("c")).as("cnt"))
-        .withColumn("bitval", when(col("cnt") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(sum(col("bitval")).as("simhash"))
+        .select(col("doc_id"), words(col("text")).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+        .select(col("doc_id"), graft.functions.simhash32(col("__ws")).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -52,4 +52,32 @@ class MinhashSigsSpec extends SparkTestBase {
     bothForms(texts, k = 8)
     bothForms(texts.take(50), k = 3) // a different k: the j-loop bound
   }
+
+  test("codegen simhash32 equals the exploded two-aggregation form") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "y2", "42",
+      "lorem", "ipsum", "dolor")
+    val texts = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(40) // >= 1 word: the explode drops empty docs
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "one" :+ ("alpha " * 100).trim
+    val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+
+    // the pre-round-4 q26 shape, kept here as the kernel's oracle
+    val exploded = df
+      .select(col("id"), explode(ws).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .withColumn("c", when(expr("(shiftright(h, i) & 1)") === 1, 1L).otherwise(-1L))
+      .groupBy("id", "i").agg(sum(col("c")).as("cnt"))
+      .withColumn("bitval",
+        when(col("cnt") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L))
+      .groupBy("id").agg(sum(col("bitval")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val gen = df.select(col("id"), graft.functions.simhash32(ws).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gen == exploded)
+  }
 }
