@@ -186,6 +186,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("text dedup kernels are codegen expressions — minhash/simhash " +
+      "carry no interpreted HOF stages and no row explodes") {
+    // round-4 kernels: q24/q25 signatures in one minhash_sigs pass
+    // (previously four interpreted HOF projections), q26 in one
+    // simhash32 pass (previously words x 32 exploded rows through two
+    // shuffled aggregations).
+    val p24 = plan(SparkEntry.queries("q24_minhash")(spark, dir))
+    assert(p24.contains("minhash_sigs"), s"q24 should use minhash_sigs:\n$p24")
+    val p26 = plan(SparkEntry.queries("q26_simhash")(spark, dir))
+    assert(p26.contains("simhash32"), s"q26 should use simhash32:\n$p26")
+    assert(!p26.contains("Generate") && !p26.contains("HashAggregate"),
+      s"q26 must be map-only — no explode, no aggregation:\n$p26")
+    // q24/q26's only remaining lambda is q24's display-side
+    // transform(cast-to-string); the md5/conv/array_min dedup pipeline
+    // itself must be gone
+    Seq("q24" -> p24, "q26" -> p26).foreach { case (n, p) =>
+      assert(!p.contains("array_min") && !p.contains("conv("),
+        s"$n still carries the interpreted signature pipeline:\n$p")
+    }
+  }
+
   test("q36 caps hot LSH buckets with a broadcast anti-join (q25 hygiene)") {
     val p = plan(SparkEntry.queries("q36_embed_neardup")(spark, dir))
     assert(p.contains("LeftAnti"), s"expected hot-bucket anti-join:\n$p")
