@@ -202,13 +202,32 @@ final class SnapshotStore(rootSpec: String,
         parsed.collect { case (text, round) if seenRounds.add(round) => text }
       }
     case _ =>
-      if (!fs.exists(manifestPath)) {
-        require(!fs.exists(manifestLogDir),
-          s"$root has a log-mode manifest (manifest.d/) but commit mode " +
-            "resolved to 'rename'; set graft.snapshot.commit.mode=log to " +
-            "read it")
-        Seq.empty
-      } else readFileText(manifestPath).linesIterator.filter(_.nonEmpty).toSeq
+      // A committer's rename-with-OVERWRITE is atomic on HDFS (native
+      // rename2) but NOT on the local FS: AbstractFileSystem's default
+      // renameInternal(overwrite=true) DELETES the destination first, so
+      // every commit has a window where manifest.jsonl does not exist —
+      // found live by LiveReaderSpec (a poll observed 6 committed rounds,
+      // then 0). A reader must not mistake that window for "no commits":
+      // retry a transient absence (and an open racing the delete) before
+      // concluding the store is genuinely fresh.
+      var attempt = 0
+      while (true) {
+        if (fs.exists(manifestPath)) {
+          try return readFileText(manifestPath).linesIterator.filter(_.nonEmpty).toSeq
+          catch {
+            case _: java.io.FileNotFoundException if attempt < 5 => // deleted under us
+          }
+        } else if (attempt >= 5) {
+          require(!fs.exists(manifestLogDir),
+            s"$root has a log-mode manifest (manifest.d/) but commit mode " +
+              "resolved to 'rename'; set graft.snapshot.commit.mode=log to " +
+              "read it")
+          return Seq.empty
+        }
+        attempt += 1
+        Thread.sleep(20L * attempt)
+      }
+      throw new IllegalStateException("unreachable")
   }
 
   /** Rounds with a committed manifest line, ascending. */
@@ -223,10 +242,12 @@ final class SnapshotStore(rootSpec: String,
     }
 
   /** Make a round visible. `rename` mode: rewrite manifest to temp +
-    * rename-with-overwrite (atomic on HDFS/local — the primitive
-    * Iceberg's HadoopTableOperations uses). `log` mode: create ONE new
-    * immutable uniquely-named object — no rename anywhere on the path,
-    * safe on object stores (see class doc). */
+    * rename-with-overwrite — the primitive Iceberg's
+    * HadoopTableOperations uses; atomic on HDFS (native rename2), but on
+    * the LOCAL FS the OVERWRITE option is delete-then-rename, so readers
+    * tolerate the brief missing-file window (see manifestLines). `log`
+    * mode: create ONE new immutable uniquely-named object — no rename
+    * anywhere on the path, safe on object stores (see class doc). */
   def commit(entryJson: String): Unit = commitMode match {
     case "log" =>
       fs.mkdirs(manifestLogDir)

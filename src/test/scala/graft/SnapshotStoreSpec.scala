@@ -158,7 +158,14 @@ class SnapshotStoreSpec extends AnyFunSuite {
 
     val healer = new Thread(() => {
       Thread.sleep(60) // inside the reader's retry window (20+40+... ms)
-      java.nio.file.Files.write(dataFile, original)
+      // atomic replace, like the real committer's temp+rename: an
+      // in-place write truncates first, and the reader polling mid-heal
+      // would see an EMPTY file that passes checksumming (no chunks)
+      val tmp = dataFile.resolveSibling("heal.tmp")
+      java.nio.file.Files.write(tmp, original)
+      java.nio.file.Files.move(tmp, dataFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     })
     healer.start()
     assert(store.committedRounds() == Seq(0),
