@@ -15,21 +15,33 @@ import java.util.concurrent.TimeUnit
   * anywhere: mid-round, mid-write, even mid-commit.
   *
   * This spec runs the real spark-submit entry point ([[CrawlMain]]) in a
-  * subprocess, SIGKILLs the whole JVM the instant round 3 commits (round
-  * 4's writes are in flight — torn parquet and an uncommitted round dir
-  * are expected debris), then resumes IN A DIFFERENT JVM (the shared test
-  * session) over the same snapshot root and requires the completed crawl
-  * byte-identical to the sequential oracle, with post-kill progress
-  * verified (the resume did real rounds, not a no-op). */
+  * subprocess, SIGKILLs the whole JVM the instant a chosen round commits
+  * (the next round's writes are in flight — torn parquet and an
+  * uncommitted round dir are expected debris), then resumes IN A
+  * DIFFERENT JVM (the shared test session) over the same snapshot root
+  * and requires the completed crawl byte-identical to the sequential
+  * oracle, with post-kill progress verified (the resume did real rounds,
+  * not a no-op). Two kill points: round 3 (early, delta-chain state) and
+  * round 8 (right at the seenCompactEvery=8 boundary — the resume must
+  * come up from a freshly-compacted base + tail deltas). */
 class DriverKillSpec extends SparkTestBase {
 
-  test("SIGKILL the whole driver JVM mid-crawl; a fresh driver resumes " +
-      "from the manifest and equals the sequential oracle") {
+  test("SIGKILL the driver JVM after round 3 (delta-chain state); a fresh " +
+      "driver resumes from the manifest and equals the sequential oracle") {
+    runKill(killAt = 3, tag = "early")
+  }
+
+  test("SIGKILL the driver JVM after round 8 (compaction boundary); " +
+      "resume comes up from the compacted base and equals the oracle") {
+    runKill(killAt = 8, tag = "compacted")
+  }
+
+  private def runKill(killAt: Int, tag: String): Unit = {
     // generate the fixture from THIS process first so the subprocess
     // never races the generator
     val fixtureDir = CorpusGen.ensure(spark, CorpusGen.Smoke)
     val cfg = CrawlConfig(maxDepth = 10, perHostPerRound = 25, partitions = 8)
-    val snap = "target/driver-kill/snap"
+    val snap = s"target/driver-kill/snap-$tag"
     val fs = new HPath(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new HPath(snap), true)
 
@@ -48,7 +60,7 @@ class DriverKillSpec extends SparkTestBase {
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.CrawlMain", "/root/testdata/sf0.001", snap, "fresh")
-    val log = new java.io.File("target/driver-kill/crawl.log")
+    val log = new java.io.File(s"target/driver-kill/crawl-$tag.log")
     log.getParentFile.mkdirs()
     val pb = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
@@ -59,20 +71,22 @@ class DriverKillSpec extends SparkTestBase {
     val p = pb.start()
 
     // poll the manifest from OUTSIDE the dying JVM; kill the instant
-    // round 3 is committed — round 4 is then mid-flight
+    // round `killAt` is committed — the next round is then mid-flight
     val store = new CrawlEngine(spark, fixtureDir, snap, cfg).store
     val deadline = System.nanoTime() + TimeUnit.MINUTES.toNanos(5)
     var rounds = 0
-    while (rounds < 3 && p.isAlive && System.nanoTime() < deadline) {
+    while (rounds < killAt && p.isAlive && System.nanoTime() < deadline) {
       rounds = store.committedRounds().size
-      if (rounds < 3) Thread.sleep(50)
+      if (rounds < killAt) Thread.sleep(50)
     }
     assert(p.isAlive,
-      s"driver exited before round 3 committed (rounds=$rounds); log tail:\n${tail(log)}")
+      s"driver exited before round $killAt committed (rounds=$rounds); " +
+        s"log tail:\n${tail(log)}")
     val roundsAtKill = store.committedRounds().size
     p.destroyForcibly()
     p.waitFor(30, TimeUnit.SECONDS)
-    assert(roundsAtKill >= 3, s"kill raced the poll: $roundsAtKill rounds")
+    assert(roundsAtKill >= killAt, s"kill raced the poll: $roundsAtKill rounds")
+    val seenFilesAtKill = store.liveSeenPaths().size
 
     // a fresh "driver" (this JVM) resumes over the snapshot root
     val engine = new CrawlEngine(spark, fixtureDir, snap, cfg)
@@ -92,14 +106,16 @@ class DriverKillSpec extends SparkTestBase {
     val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
       f.round, f.rn, f.fetchTs, f.status, f.docId))
     assert(got == wantLog,
-      s"fetch log mismatch after driver kill + resume: got=${got.size} " +
+      s"fetch log mismatch after driver kill + resume ($tag): got=${got.size} " +
         s"want=${wantLog.size}; first diff: " +
         got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
     val gotSeen = engine.seen().collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
     assert(gotSeen == want.seen,
-      s"seen-set mismatch after driver kill + resume: got=${gotSeen.size} want=${want.seen.size}")
-    info(s"killed at $roundsAtKill committed rounds, resumed to $roundsAfter; " +
+      s"seen-set mismatch after driver kill + resume ($tag): " +
+        s"got=${gotSeen.size} want=${want.seen.size}")
+    info(s"$tag: killed at $roundsAtKill committed rounds " +
+      s"($seenFilesAtKill live seen files), resumed to $roundsAfter; " +
       s"fetched=${got.size} seen=${gotSeen.size} — byte-identical to the oracle")
   }
 
