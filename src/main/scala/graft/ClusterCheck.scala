@@ -66,7 +66,8 @@ object ClusterCheck {
   }
 
   def session(executors: Int, coresPerExec: Int, memMb: Int,
-              shufflePartitions: Int): SparkSession = {
+              shufflePartitions: Int,
+              extra: Seq[(String, String)] = Nil): SparkSession = {
     val builder = SparkSession.builder()
       .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
       .appName("graft-cluster")
@@ -75,6 +76,7 @@ object ClusterCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     clusterConfigs.foreach { case (k, v) => builder.config(k, v) }
+    extra.foreach { case (k, v) => builder.config(k, v) } // later wins
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -89,7 +91,8 @@ object ClusterCheck {
       case "check" => check(executors, coresPer, memMb)
       case "bench" => bench(executors, coresPer, memMb)
       case "kill" => killCheck(executors, coresPer, memMb)
-      case other => sys.error(s"unknown mode: $other (check|bench|kill)")
+      case "retry" => retryCheck(executors, coresPer, memMb)
+      case other => sys.error(s"unknown mode: $other (check|bench|kill|retry)")
     }
   }
 
@@ -162,6 +165,64 @@ object ClusterCheck {
       println(s"CLUSTER-KILL OK executors=$executors coresPer=$coresPer " +
         s"killed_pid=${killedPid.get()} fetched=${got.size} seen=${gotSeen.size} " +
         "byte-identical to the sequential oracle")
+    } finally spark.stop()
+  }
+
+  /** Task-retry safety under MULTI-JVM executors — the cluster form of
+    * [[graft.FaultCheck]], whose arm() statics cannot reach forked
+    * executor JVMs. The `graft.fault.arm=shards.post` system property
+    * ships in spark.executor.extraJavaOptions, so in EVERY executor JVM
+    * each shard-build task's attempt 0 throws AFTER its rename side
+    * effect (the hard case: the failed attempt's completed file must
+    * stay an unreferenced orphan) and Spark's real cluster retry
+    * machinery (spark.task.maxFailures=4 through the standalone
+    * scheduler, retries possibly landing on the OTHER executor) re-runs
+    * it. The driver counts the injections through task-failure reasons
+    * — the thrown message carries the `[FaultInjection]` marker — and
+    * the finished crawl must be byte-identical to the sequential
+    * oracle. */
+  private def retryCheck(executors: Int, coresPer: Int, memMb: Int): Unit = {
+    val armProp = "-Dgraft.fault.arm=shards.post"
+    val spark = session(executors, coresPer, memMb, shufflePartitions = 8,
+      extra = Seq(
+        "spark.task.maxFailures" -> "4",
+        "spark.executor.extraJavaOptions" -> s"$addOpens $armProp"))
+    try {
+      val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.reason != null && e.reason.toString.contains("[FaultInjection]"))
+            injected.incrementAndGet()
+      })
+      val fixtureDir = CorpusGen.ensure(spark, CorpusGen.Smoke)
+      val cfg = CrawlConfig(maxDepth = 10, perHostPerRound = 25, partitions = 8,
+        bloomShardCapacity = 50000L)
+      val snap = "target/cluster-check/snap-retry"
+      new CrawlEngine(spark, fixtureDir, snap, cfg).store.wipe()
+      val engine = new CrawlEngine(spark, fixtureDir, snap, cfg)
+      engine.runFresh()
+      require(injected.get() > 0,
+        "no injected task failure observed — graft.fault.arm did not reach " +
+          "the executor JVMs or the site was never exercised")
+
+      val corpus = CorpusGen.build(CorpusGen.Smoke)
+      val want = new CrawlOracle(corpus, cfg).run()
+      val got = fetchLogRows(engine)
+      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
+        f.round, f.rn, f.fetchTs, f.status, f.docId))
+      require(got == wantLog,
+        s"fetch log mismatch under multi-JVM task retries: got=${got.size} " +
+          s"want=${wantLog.size} rows; first diff: " +
+          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
+      val gotSeen = engine.seen().collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      require(gotSeen == want.seen,
+        s"seen-set mismatch under multi-JVM task retries: got=${gotSeen.size} " +
+          s"want=${want.seen.size}")
+      println(s"CLUSTER-RETRY OK executors=$executors coresPer=$coresPer " +
+        s"injected_failures=${injected.get()} fetched=${got.size} " +
+        s"seen=${gotSeen.size} byte-identical to the sequential oracle")
     } finally spark.stop()
   }
 

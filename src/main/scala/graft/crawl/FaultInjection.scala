@@ -37,8 +37,19 @@ object FaultInjection {
   /** Injected failures so far (tests assert > 0: the site was exercised). */
   def fireCount: Long = fires.get()
 
+  /** The multi-JVM form of [[arm]]: a site armed via the
+    * `graft.fault.arm` system property at JVM start. arm()'s static is
+    * invisible to forked executor JVMs, so cluster tests ship this
+    * property in spark.executor.extraJavaOptions instead; the driver
+    * observes the injections through task-failure reasons (the thrown
+    * message carries the `[FaultInjection]` marker), not fireCount. */
+  private val propArmed: String = System.getProperty("graft.fault.arm")
+
   def maybeFail(site: String): Unit = {
-    val armed = armedSite
+    val armed = {
+      val a = armedSite
+      if (a != null) a else propArmed
+    }
     if (armed != null && armed == site) {
       val tc = TaskContext.get()
       if (tc != null && tc.attemptNumber() == 0) {

@@ -33,6 +33,12 @@ class ClusterCrawlSpec extends AnyFunSuite {
     runClusterCheck("kill", "CLUSTER-KILL OK")
   }
 
+  test("crawl equality vs the oracle with every shard task's first " +
+      "attempt failing AFTER its rename, in forked executor JVMs " +
+      "(multi-JVM task retries via graft.fault.arm)") {
+    runClusterCheck("retry", "CLUSTER-RETRY OK")
+  }
+
   private def runClusterCheck(mode: String, okMarker: String): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
