@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.CorpusGen
 import graft.crawl.{CrawlConfig, CrawlEngine}
-import graft.oracle.CrawlOracle
+import graft.oracle.{CrawlOracle, OracleAssert}
 import graft.queries.CrawlOps
 import org.apache.spark.sql.SparkSession
 
@@ -29,10 +29,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterCheck {
 
-  /** The JDK17 module opens Spark 4 needs; the driver JVM gets them from
-    * build.sbt javaOptions, the forked executor JVMs via
-    * spark.executor.extraJavaOptions here. */
-  private val addOpens = Seq(
+  /** The JDK17 modules Spark 4 needs opened — the ONE copy (review
+    * finding: the evidence specs each carried their own verbatim list, so
+    * a Spark upgrade adding one required open meant touching five files,
+    * and a missed one produced a mode-specific subprocess crash that
+    * looked like a real fault-tolerance failure). The driver JVM gets
+    * them from build.sbt javaOptions, forked executor JVMs via
+    * spark.executor.extraJavaOptions here, and the specs' subprocess
+    * drivers via the test helper GraftSubprocess. */
+  val OpenedModules: Seq[String] = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",
@@ -40,7 +45,10 @@ object ClusterCheck {
     "java.base/java.util.concurrent.atomic",
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+  )
+
+  private val addOpens =
+    OpenedModules.map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
   /** Configs every local-cluster session needs (shared with
     * BenchFrontier's cluster mode): executor JVMs are forked from
@@ -151,19 +159,10 @@ object ClusterCheck {
 
       val corpus = CorpusGen.build(CorpusGen.Smoke)
       val want = new CrawlOracle(corpus, cfg).run()
-      val got = fetchLogRows(engine)
-      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
-        f.round, f.rn, f.fetchTs, f.status, f.docId))
-      require(got == wantLog,
-        s"fetch log mismatch after executor kill: got=${got.size} " +
-          s"want=${wantLog.size} rows; first diff: " +
-          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
-      val gotSeen = engine.seen().collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-      require(gotSeen == want.seen,
-        s"seen-set mismatch after executor kill: got=${gotSeen.size} want=${want.seen.size}")
+      val (fetched, seen) =
+        OracleAssert.assertMatches(engine, want, "after executor kill")
       println(s"CLUSTER-KILL OK executors=$executors coresPer=$coresPer " +
-        s"killed_pid=${killedPid.get()} fetched=${got.size} seen=${gotSeen.size} " +
+        s"killed_pid=${killedPid.get()} fetched=$fetched seen=$seen " +
         "byte-identical to the sequential oracle")
     } finally spark.stop()
   }
@@ -208,31 +207,13 @@ object ClusterCheck {
 
       val corpus = CorpusGen.build(CorpusGen.Smoke)
       val want = new CrawlOracle(corpus, cfg).run()
-      val got = fetchLogRows(engine)
-      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
-        f.round, f.rn, f.fetchTs, f.status, f.docId))
-      require(got == wantLog,
-        s"fetch log mismatch under multi-JVM task retries: got=${got.size} " +
-          s"want=${wantLog.size} rows; first diff: " +
-          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
-      val gotSeen = engine.seen().collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-      require(gotSeen == want.seen,
-        s"seen-set mismatch under multi-JVM task retries: got=${gotSeen.size} " +
-          s"want=${want.seen.size}")
+      val (fetched, seen) =
+        OracleAssert.assertMatches(engine, want, "under multi-JVM task retries")
       println(s"CLUSTER-RETRY OK executors=$executors coresPer=$coresPer " +
-        s"injected_failures=${injected.get()} fetched=${got.size} " +
-        s"seen=${gotSeen.size} byte-identical to the sequential oracle")
+        s"injected_failures=${injected.get()} fetched=$fetched " +
+        s"seen=$seen byte-identical to the sequential oracle")
     } finally spark.stop()
   }
-
-  private def fetchLogRows(engine: CrawlEngine) =
-    engine.fetchLog()
-      .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
-        "fetch_ts", "status", "doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
-        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
-      .sortBy(_._1).toVector
 
   private def check(executors: Int, coresPer: Int, memMb: Int): Unit = {
     val spark = session(executors, coresPer, memMb, shufflePartitions = 8)
@@ -246,17 +227,8 @@ object ClusterCheck {
 
       val corpus = CorpusGen.build(CorpusGen.Smoke)
       val want = new CrawlOracle(corpus, cfg).run()
-      val got = fetchLogRows(engine)
-      val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
-        f.round, f.rn, f.fetchTs, f.status, f.docId))
-      require(got == wantLog,
-        s"fetch log mismatch under local-cluster[$executors,$coresPer]: " +
-          s"got=${got.size} want=${wantLog.size} rows; first diff: " +
-          got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
-      val gotSeen = engine.seen().collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-      require(gotSeen == want.seen,
-        s"seen-set mismatch: got=${gotSeen.size} want=${want.seen.size}")
+      val (fetched, seen) = OracleAssert.assertMatches(engine, want,
+        s"under local-cluster[$executors,$coresPer]")
 
       // retire + re-discovery resume: exercises cuckoo-free tombstone
       // masking, manifest pointer round-trips and a cross-JVM shard-cache
@@ -267,13 +239,12 @@ object ClusterCheck {
       e2.retireHost(host)
       e2.resume()
       val want2 = new CrawlOracle(corpus, cfg).run(Some((3, host)))
-      val got2Seen = e2.seen().collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      val got2Seen = OracleAssert.collectSeen(e2)
       require(got2Seen == want2.seen,
         s"post-retire seen mismatch: got=${got2Seen.size} want=${want2.seen.size}")
 
       println(s"CLUSTER-CHECK OK executors=$executors coresPer=$coresPer " +
-        s"fetched=${got.size} seen=${gotSeen.size} retire_resume_seen=${got2Seen.size}")
+        s"fetched=$fetched seen=$seen retire_resume_seen=${got2Seen.size}")
     } finally spark.stop()
   }
 

@@ -108,7 +108,7 @@ object FaultCheck {
         require(FaultInjection.fireCount > 0,
           s"$site: injection never fired — the site was not exercised")
         engine.resume()
-        val gotSeen = collectSeen(engine)
+        val gotSeen = graft.oracle.OracleAssert.collectSeen(engine)
         require(gotSeen == want2.seen,
           s"$site: post-retire seen mismatch: got=${gotSeen.size} want=${want2.seen.size}")
         println(s"FAULT-CHECK $site ok: fired=injected, retire+resume " +
@@ -128,27 +128,11 @@ object FaultCheck {
       else Seq.empty[String]
     }.toSet
 
-  private def collectSeen(e: CrawlEngine): Map[Long, (String, Int)] =
-    e.seen().collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-
   private def compareToOracle(engine: CrawlEngine,
                               want: graft.oracle.OracleResult, tag: String): Unit = {
-    val got = engine.fetchLog()
-      .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
-        "fetch_ts", "status", "doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
-        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
-      .sortBy(_._1).toVector
-    val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
-      f.round, f.rn, f.fetchTs, f.status, f.docId))
-    require(got == wantLog,
-      s"$tag: fetch log mismatch under injected retries: got=${got.size} " +
-        s"want=${wantLog.size} rows; first diff: " +
-        got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
-    val gotSeen = collectSeen(engine)
-    require(gotSeen == want.seen,
-      s"$tag: seen-set mismatch: got=${gotSeen.size} want=${want.seen.size}")
-    println(s"FAULT-CHECK $tag ok: fetched=${got.size} seen=${gotSeen.size} " +
+    val (fetched, seen) = graft.oracle.OracleAssert.assertMatches(engine, want,
+      s"$tag under injected retries")
+    println(s"FAULT-CHECK $tag ok: fetched=$fetched seen=$seen " +
       s"matches oracle exactly")
   }
 }

@@ -179,12 +179,23 @@ final class CrawlEngine(
     * round with no fetch log; the crawl stays resumable. Returns the
     * number of retired URLs. */
   def retireHost(host: String): Long = {
-    val round = store.lastCommitted().getOrElse(
+    // ONE manifest read for the whole operation: the former per-field
+    // liveX() accessors each re-read the manifest (in log mode: re-list
+    // manifest.d and re-GET every entry object — ~5× the I/O on a
+    // 1000-round crawl), and two independent reads can straddle a
+    // concurrent commit and pair mismatched rounds' state
+    // (review finding). Everything below derives from this one entry.
+    val entry = store.readManifest().lastOption.getOrElse(
       throw new IllegalStateException("no committed snapshot to retire from"))
+    val round = entry("round").asInstanceOf[Number].intValue()
     val next = round + 1
-    // live rows only: seen() already masks earlier retires' tombstones,
-    // so retiredCount never double-counts across repeated retires
-    val retired = seen().filter(graft.functions.host_of(col("url_canon")) === host)
+    val seenPaths = store.pathsOf(entry, "seen_paths")
+    val tombPaths = store.pathsOf(entry, "tombstone_paths")
+    val liveBlooms = store.pathsOf(entry, "bloom_paths").toArray
+    // live rows only: the tombstone mask covers earlier retires, so
+    // retiredCount never double-counts across repeated retires
+    val retired = seenFrom(seenPaths, tombPaths)
+      .filter(graft.functions.host_of(col("url_canon")) === host)
       .select(col("url_hash"), lit(next).as("retire_round"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val retiredCount = retired.count()
@@ -199,9 +210,9 @@ final class CrawlEngine(
     val bloomPaths: Array[String] =
       if (cfg.useBloom && cfg.seenFilter == "cuckoo")
         SeenSet.retireFromShards(spark, retired.select("url_hash"),
-          new BloomShardReader(store.liveBloomPaths(), store.confSer),
+          new BloomShardReader(liveBlooms, store.confSer),
           store.bloomsDir(next), cfg.partitions)
-      else store.liveBloomPaths()
+      else liveBlooms
     // per-partition lineage = NEGATIVE per-bucket retired counts, so the
     // per-bucket running sum over all rounds equals the live per-bucket
     // seen counts at every round (the contract entryJson documents;
@@ -210,15 +221,14 @@ final class CrawlEngine(
     retired.unpersist(false)
     // metricOf getOrDefault's missing keys to 0.0 (a pre-round-2 manifest
     // entry without fetched_total NPE'd the raw cast chain here)
-    val fetchedTotal = store.readManifest().lastOption
-      .map(store.metricOf(_, "fetched_total")).getOrElse(0.0)
+    val fetchedTotal = store.metricOf(entry, "fetched_total")
     store.commit(store.entryJson(next, round,
       Map("frontier" -> frontierRows, "seen_delta" -> 0L, "fetchlog" -> 0L),
       lineage,
       Map("fetched_total" -> fetchedTotal, "retired" -> retiredCount.toDouble),
-      store.liveSeenPaths(), bloomPaths.toSeq, cfg.partitions,
-      tombstonePaths = store.liveTombstonePaths() :+ store.tombstonesPath(next),
-      hostReadyPath = Some(store.liveHostReadyPath())))
+      seenPaths, bloomPaths.toSeq, cfg.partitions,
+      tombstonePaths = tombPaths :+ store.tombstonesPath(next),
+      hostReadyPath = Some(store.hostReadyPathOf(entry))))
     retiredCount
   }
 
@@ -238,9 +248,16 @@ final class CrawlEngine(
 
   /** The authoritative (exact) seen set: the live (compacted base +
     * delta) files of the last committed round, minus any un-compacted
-    * retire tombstones (round-aware mask — see [[retireHost]]). */
-  def seen(): DataFrame =
-    seenFrom(store.liveSeenPaths(), store.liveTombstonePaths())
+    * retire tombstones (round-aware mask — see [[retireHost]]). Both
+    * path lists come from ONE manifest read: two independent liveX()
+    * calls can straddle a concurrent commit and pair round N's seen
+    * files with round N+1's cleared tombstone list, resurfacing retired
+    * URLs in a live reader (review finding). */
+  def seen(): DataFrame = store.readManifest().lastOption match {
+    case Some(e) => seenFrom(store.pathsOf(e, "seen_paths"),
+      store.pathsOf(e, "tombstone_paths"))
+    case None => seenFrom(Seq.empty, Seq.empty)
+  }
 
   /** Time travel: the exact seen set AS OF committed round `r` — read
     * straight off round r's manifest entry (its seen_paths + tombstone
@@ -255,11 +272,7 @@ final class CrawlEngine(
       throw new IllegalArgumentException(
         s"round $r has no committed manifest entry " +
           s"(committed: ${store.committedRounds().mkString(",")})"))
-    def strList(k: String): Seq[String] =
-      Option(e.getOrElse(k, null))
-        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Seq.empty)
-    seenFrom(strList("seen_paths"), strList("tombstone_paths"))
+    seenFrom(store.pathsOf(e, "seen_paths"), store.pathsOf(e, "tombstone_paths"))
   }
 
   private def seenFrom(seenPaths: Seq[String], tombPaths: Seq[String]): DataFrame = {
@@ -267,10 +280,7 @@ final class CrawlEngine(
     tombPaths match {
       case Seq() => all
       case tp =>
-        val tomb = spark.read.schema(tombSchema).parquet(tp: _*)
-        all.join(broadcast(tomb),
-          all("url_hash") === tomb("url_hash") &&
-            all("first_round") < tomb("retire_round"), "left_anti")
+        SeenSet.maskTombstones(all, spark.read.schema(tombSchema).parquet(tp: _*))
     }
   }
 
@@ -415,15 +425,28 @@ final class CrawlEngine(
     // the loop and restored after (~10% wall-time at the bench tier).
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var mainErr: Throwable = null
     try {
       while (roundsRun < maxRounds && fetchedSoFar < cfg.totalBudget && step()) {
         roundsRun += 1
       }
+    } catch {
+      case t: Throwable => mainErr = t; throw t
     } finally {
       // the last round's tail must land (commit durability) even if a
-      // round throws; a tail failure surfaces on the Await unless a main-
-      // path failure is already propagating (don't mask it)
+      // round throws; a tail failure surfaces on the Await — UNLESS a
+      // main-path failure is already propagating, in which case it is
+      // suppressed onto it instead of replacing it (a bare try/finally
+      // would discard the root cause per JVM semantics; review finding).
+      // The `ne` guard matters: when the main path failed BECAUSE it
+      // awaited this same failed tail inside step(), re-awaiting it here
+      // rethrows the very same instance, and addSuppressed(self) throws.
       try Await.result(tail, Inf)
+      catch {
+        case tailErr: Throwable =>
+          if (mainErr == null) throw tailErr
+          else if (tailErr ne mainErr) mainErr.addSuppressed(tailErr)
+      }
       finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
 
@@ -621,6 +644,13 @@ final class CrawlEngine(
       // are pinned in the cache — the rank layout has no consumers left
       if (budgetActive) schedSeqCleanup()
       val offsetAtRound = fetchedSoFar
+      // `round` is a mutable loop var the main path reassigns at the
+      // bottom of step(); this future's await moved into the async tail,
+      // so its body can run AFTER that reassignment — capture the value
+      // NOW or round R's fetch log lands in round R+1's directory
+      // (review finding: a busy ExecutionContext delayed the body past
+      // `round = next`, silently losing a full round of crawl output)
+      val thisRound = round
       val fetchLogFut = Future {
         // fast path: seq is assigned HERE, over the hot fetched cache —
         // the whole GlobalOrder subtree (range-partitioner sampling job,
@@ -633,7 +663,7 @@ final class CrawlEngine(
         logFrame.select("seq", "url_canon", "url_hash", "host", "depth", "round",
             "rn", "fetch_ts", "status", "doc_id")
           .coalesce(cfg.snapshotWriteFiles)
-          .write.mode("overwrite").parquet(store.fetchLogPath(round))
+          .write.mode("overwrite").parquet(store.fetchLogPath(thisRound))
         seqCleanup()
       }
       lap("statuscounts")
@@ -777,8 +807,8 @@ final class CrawlEngine(
       // commit + cache release. Runs CONCURRENTLY with the next round's
       // schedule + fetch-join materialization; the next round joins it
       // before defining its seen probe. Captures only immutable locals —
-      // no loop var is touched off-thread.
-      val thisRound = round
+      // no loop var is touched off-thread (thisRound was pinned above,
+      // before fetchLogFut, for the same reason).
       val roundCaches = Seq(schedAll, fetched, newUrls) ++ canonCache ++ allowedCache
       tail = Future {
         // per-partition lineage comes for free from the executor-side
@@ -812,10 +842,8 @@ final class CrawlEngine(
           val folded = tombPaths match {
             case Seq() => allSeen
             case tp =>
-              val tomb = spark.read.schema(tombSchema).parquet(tp: _*)
-              allSeen.join(broadcast(tomb),
-                allSeen("url_hash") === tomb("url_hash") &&
-                  allSeen("first_round") < tomb("retire_round"), "left_anti")
+              SeenSet.maskTombstones(allSeen,
+                spark.read.schema(tombSchema).parquet(tp: _*))
           }
           val bp = writeSeenBase(next, folded)
           paths = Seq(bp)

@@ -258,6 +258,22 @@ object SeenSet {
     paths
   }
 
+  /** The ONE implementation of the round-aware retire mask: `seen` rows
+    * (with a `first_round` column) minus those a tombstone
+    * (url_hash, retire_round) covers — a row is retired iff a tombstone
+    * matches its hash AND `first_round < retire_round`, so a URL
+    * re-acquired after the retire stays live. Tombstones are tiny (one
+    * retire's URLs) → broadcast; left_anti keeps the seen side's
+    * partitioning, so bucketed-base scans stay exchange-free. Shared by
+    * the probe path here, the engine's seen()/seenAsOf reads and the
+    * compaction fold — three hand-copies of this predicate diverging
+    * would bake retired rows into the base with no error
+    * (review finding). */
+  def maskTombstones(seen: DataFrame, tomb: DataFrame): DataFrame =
+    seen.join(broadcast(tomb),
+      seen("url_hash") === tomb("url_hash") &&
+        seen("first_round") < tomb("retire_round"), "left_anti")
+
   /** J1 two-phase dedup: rows of `cand` whose url_hash is NOT in the seen
     * set. Bloom-negative rows bypass the join (no false negatives);
     * bloom-positive rows are exactly anti-joined against every frame in
@@ -287,11 +303,7 @@ object SeenSet {
               reader: Option[BloomShardReader],
               tombstones: Option[DataFrame] = None): (DataFrame, () => Unit, Option[() => Long]) = {
     def liveHashes(seen: DataFrame): DataFrame = tombstones match {
-      case Some(tomb) =>
-        seen.join(broadcast(tomb),
-          seen("url_hash") === tomb("url_hash") &&
-            seen("first_round") < tomb("retire_round"), "left_anti")
-          .select("url_hash")
+      case Some(tomb) => maskTombstones(seen, tomb).select("url_hash")
       case None => seen.select("url_hash")
     }
     def antiAll(df: DataFrame): DataFrame =

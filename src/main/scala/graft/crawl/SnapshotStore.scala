@@ -118,6 +118,7 @@ final class SnapshotStore(rootSpec: String,
     }
 
   def manifestPath: Path = new Path(root, "manifest.jsonl")
+  private def manifestTmpPath: Path = new Path(root, ".manifest.tmp")
   def manifestLogDir: Path = new Path(root, "manifest.d")
   def roundDir(r: Int): String = s"$root/round=$r"
   def frontierPath(r: Int): String = s"${roundDir(r)}/frontier"
@@ -210,6 +211,21 @@ final class SnapshotStore(rootSpec: String,
       // then 0). A reader must not mistake that window for "no commits":
       // retry a transient absence (and an open racing the delete) before
       // concluding the store is genuinely fresh.
+      //
+      // Fresh-store fast paths (review finding: every read of a store
+      // with no commits — including each crawl's own FIRST commit, which
+      // reads the manifest before appending — burned the full ~300 ms of
+      // retry sleeps): (a) no root dir ⇒ no commit ever started; (b) the
+      // committer maintains `manifest.jsonl ∨ .manifest.tmp exists` at
+      // every instant of a commit (tmp is written and closed BEFORE the
+      // delete-then-rename swap, and the swap's rename is the atomic
+      // step that makes the manifest reappear), so observing manifest
+      // absent ∧ tmp absent means no commit is in flight — conclude
+      // fresh without sleeping. The one theoretical hole — an ENTIRE
+      // commit (tmp create→write→close→swap) completing between the two
+      // sub-millisecond exists() calls — is narrower than the old
+      // fixed-retry scheme's (any commit window longer than 300 ms).
+      if (!fs.exists(new Path(root))) return Seq.empty
       var attempt = 0
       while (true) {
         if (fs.exists(manifestPath)) {
@@ -217,7 +233,12 @@ final class SnapshotStore(rootSpec: String,
           catch {
             case _: java.io.FileNotFoundException if attempt < 5 => // deleted under us
           }
-        } else if (attempt >= 5) {
+          // tmp absent alone is not enough: a commit completing between
+          // the two checks leaves tmp absent with the manifest BACK —
+          // re-check it so that case loops and reads instead of
+          // concluding fresh
+        } else if ((!fs.exists(manifestTmpPath) && !fs.exists(manifestPath))
+            || attempt >= 5) {
           require(!fs.exists(manifestLogDir),
             s"$root has a log-mode manifest (manifest.d/) but commit mode " +
               "resolved to 'rename'; set graft.snapshot.commit.mode=log to " +
@@ -264,7 +285,10 @@ final class SnapshotStore(rootSpec: String,
         case "\n" => ""
         case s => s
       }
-      val tmp = new Path(root, ".manifest.tmp")
+      // readers rely on the invariant that manifest ∨ tmp exists at every
+      // instant from here to the swap (see manifestLines' fresh-store
+      // fast path)
+      val tmp = manifestTmpPath
       val out = fs.create(tmp, true)
       try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
@@ -318,15 +342,32 @@ final class SnapshotStore(rootSpec: String,
     entry("metrics").asInstanceOf[java.util.Map[String, Any]]
       .getOrDefault(key, 0.0.asInstanceOf[AnyRef]).asInstanceOf[Number].doubleValue()
 
-  /** Live seen-set parquet paths as of the last committed round. Like
-    * livePartitions, tolerates manifests missing the field (pre-round-2
-    * format) so the engine's own require() diagnostics stay reachable
-    * instead of a bare NoSuchElementException (review finding). */
-  def liveSeenPaths(): Seq[String] =
-    readManifest().lastOption
-      .flatMap(e => Option(e.getOrElse("seen_paths", null)))
+  /** String-list field of a manifest entry, empty when absent (tolerates
+    * pre-round-2 manifests missing the field so the engine's own
+    * require() diagnostics stay reachable instead of a bare
+    * NoSuchElementException; review finding). May contain nulls —
+    * bloom_paths commits null entries for never-written shards. The
+    * entry-taking accessors exist so a caller can resolve EVERYTHING off
+    * ONE readManifest() snapshot: two independent liveX() calls can
+    * straddle a concurrent commit and pair round N's seen files with
+    * round N+1's cleared tombstone list (review finding). */
+  def pathsOf(entry: Map[String, Any], key: String): Seq[String] =
+    Option(entry.getOrElse(key, null))
       .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
       .getOrElse(Seq.empty)
+
+  /** The host-ready snapshot path a manifest entry points at: its
+    * explicit pointer if present, else its round's conventional path
+    * (pre-pointer manifests, and every crawl round — only retire rounds
+    * point back at their parent's file). */
+  def hostReadyPathOf(entry: Map[String, Any]): String =
+    Option(entry.getOrElse("hostready_path", null))
+      .map(_.asInstanceOf[String])
+      .getOrElse(hostReadyPath(entry("round").asInstanceOf[Number].intValue()))
+
+  /** Live seen-set parquet paths as of the last committed round. */
+  def liveSeenPaths(): Seq[String] =
+    readManifest().lastOption.map(pathsOf(_, "seen_paths")).getOrElse(Seq.empty)
 
   /** Partition/shard count the snapshot was written with (0 = unknown,
     * pre-round-2 manifests). */
@@ -339,29 +380,17 @@ final class SnapshotStore(rootSpec: String,
     * the last committed round — empty when no un-compacted retire exists
     * (the common case; pre-tombstone manifests simply lack the field). */
   def liveTombstonePaths(): Seq[String] =
-    readManifest().lastOption
-      .flatMap(e => Option(e.getOrElse("tombstone_paths", null)))
-      .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-      .getOrElse(Seq.empty)
+    readManifest().lastOption.map(pathsOf(_, "tombstone_paths")).getOrElse(Seq.empty)
 
-  /** The live host-ready snapshot path: the last committed round's
-    * explicit pointer if present, else that round's conventional path
-    * (pre-pointer manifests, and every crawl round — only retire rounds
-    * point back at their parent's file). */
-  def liveHostReadyPath(): String = {
-    val last = readManifest().lastOption
-    last.flatMap(e => Option(e.getOrElse("hostready_path", null)))
-      .map(_.asInstanceOf[String])
-      .getOrElse(hostReadyPath(last.map(_("round").asInstanceOf[Number].intValue())
-        .getOrElse(0)))
-  }
+  /** The live host-ready snapshot path — [[hostReadyPathOf]] of the last
+    * committed entry (round 0's conventional path on a fresh store). */
+  def liveHostReadyPath(): String =
+    readManifest().lastOption.map(hostReadyPathOf).getOrElse(hostReadyPath(0))
 
   /** Per-shard bloom file paths as of the last committed round (null
     * entries = never-written shards); empty when blooms are disabled. */
   def liveBloomPaths(): Array[String] =
-    readManifest().lastOption
-      .flatMap(e => Option(e.getOrElse("bloom_paths", null)))
-      .map(_.asInstanceOf[java.util.List[String]].asScala.toArray)
+    readManifest().lastOption.map(pathsOf(_, "bloom_paths").toArray)
       .getOrElse(Array.empty[String])
 
   /** The committed manifest entry for `round`, if any — the time-travel
@@ -378,15 +407,10 @@ final class SnapshotStore(rootSpec: String,
     * a resume from that round reads. */
   private def referencedPaths(entry: Map[String, Any]): Seq[String] = {
     val r = entry("round").asInstanceOf[Number].intValue()
-    def strList(k: String): Seq[String] =
-      Option(entry.getOrElse(k, null))
-        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
-        .getOrElse(Seq.empty)
-        .filter(_ != null)
-    val hostReady = Option(entry.getOrElse("hostready_path", null))
-      .map(_.asInstanceOf[String]).getOrElse(hostReadyPath(r))
+    def strList(k: String): Seq[String] = pathsOf(entry, k).filter(_ != null)
     (strList("seen_paths") ++ strList("bloom_paths") ++
-      strList("tombstone_paths") ++ Seq(hostReady, frontierPath(r))).map(qualified)
+      strList("tombstone_paths") ++
+      Seq(hostReadyPathOf(entry), frontierPath(r))).map(qualified)
   }
 
   /** Expire old rounds' unreferenced data files — the Iceberg

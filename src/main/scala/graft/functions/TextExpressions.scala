@@ -106,8 +106,6 @@ object TextRT {
   }
 }
 
-/** `minhash_sigs(words, k)` over an `array<string>` word column →
-  * `array<long>` of k signatures. */
 /** `simhash32(words)` over an `array<string>` word column → LongType. */
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -120,6 +118,8 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `minhash_sigs(words, k)` over an `array<string>` word column →
+  * `array<long>` of k signatures. */
 case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"k must be >= 1: $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

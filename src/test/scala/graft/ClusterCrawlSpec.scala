@@ -40,43 +40,21 @@ class ClusterCrawlSpec extends AnyFunSuite {
   }
 
   private def runClusterCheck(mode: String, okMarker: String): Unit = {
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp, "graft.ClusterCheck", "2", "4", "2048", mode)
     val log = new java.io.File(s"target/cluster-check/$mode.log")
-    log.getParentFile.mkdirs()
-    val pb = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true)
-      .redirectOutput(log)
-    // the standalone worker launches executor JVMs through the launcher,
-    // which resolves SPARK_HOME/jars and needs the scala version when not
-    // started via Spark's shell scripts
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-    val p = pb.start()
+    // SPARK_SCALA_VERSION: the standalone worker launches executor JVMs
+    // through the launcher, which resolves SPARK_HOME/jars and needs the
+    // scala version when not started via Spark's shell scripts
+    val p = GraftSubprocess.start("graft.ClusterCheck",
+      Seq("2", "4", "2048", mode), log,
+      env = Map("SPARK_SCALA_VERSION" -> "2.13"))
     val finished = p.waitFor(10, TimeUnit.MINUTES)
     if (!finished) {
       p.destroyForcibly()
-      fail(s"ClusterCheck $mode timed out; log tail:\n${tail(log)}")
+      fail(s"ClusterCheck $mode timed out; log tail:\n${GraftSubprocess.tail(log)}")
     }
     assert(p.exitValue() == 0,
-      s"ClusterCheck $mode exited ${p.exitValue()}; log tail:\n${tail(log)}")
-    assert(tail(log).contains(okMarker), s"log tail:\n${tail(log)}")
-  }
-
-  private def tail(f: java.io.File): String = {
-    val s = java.nio.file.Files.readString(f.toPath)
-    s.substring(math.max(0, s.length - 4000))
+      s"ClusterCheck $mode exited ${p.exitValue()}; log tail:\n${GraftSubprocess.tail(log)}")
+    assert(GraftSubprocess.tail(log).contains(okMarker),
+      s"log tail:\n${GraftSubprocess.tail(log)}")
   }
 }

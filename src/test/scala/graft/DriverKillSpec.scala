@@ -45,30 +45,13 @@ class DriverKillSpec extends SparkTestBase {
     val fs = new HPath(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new HPath(snap), true)
 
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp, "graft.CrawlMain", "/root/testdata/sf0.001", snap, "fresh")
     val log = new java.io.File(s"target/driver-kill/crawl-$tag.log")
-    log.getParentFile.mkdirs()
-    val pb = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true)
-      .redirectOutput(log)
-    pb.environment().put("SPARK_GRAFT_MAX_DEPTH", cfg.maxDepth.toString)
-    pb.environment().put("SPARK_GRAFT_PER_HOST", cfg.perHostPerRound.toString)
-    pb.environment().put("SPARK_GRAFT_PARTITIONS", cfg.partitions.toString)
-    val p = pb.start()
+    val p = GraftSubprocess.start("graft.CrawlMain",
+      Seq("/root/testdata/sf0.001", snap, "fresh"), log,
+      env = Map(
+        "SPARK_GRAFT_MAX_DEPTH" -> cfg.maxDepth.toString,
+        "SPARK_GRAFT_PER_HOST" -> cfg.perHostPerRound.toString,
+        "SPARK_GRAFT_PARTITIONS" -> cfg.partitions.toString))
 
     // poll the manifest from OUTSIDE the dying JVM; kill the instant
     // round `killAt` is committed — the next round is then mid-flight
@@ -97,30 +80,12 @@ class DriverKillSpec extends SparkTestBase {
 
     val corpus = CorpusGen.build(CorpusGen.Smoke)
     val want = new CrawlOracle(corpus, cfg).run()
-    val got = engine.fetchLog()
-      .select("seq", "url_canon", "url_hash", "host", "depth", "round", "rn",
-        "fetch_ts", "status", "doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
-        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7), r.getString(8), r.getString(9)))
-      .sortBy(_._1).toVector
-    val wantLog = want.log.map(f => (f.seq, f.urlCanon, f.urlHash, f.host, f.depth,
-      f.round, f.rn, f.fetchTs, f.status, f.docId))
-    assert(got == wantLog,
-      s"fetch log mismatch after driver kill + resume ($tag): got=${got.size} " +
-        s"want=${wantLog.size}; first diff: " +
-        got.zip(wantLog).find { case (g, w) => g != w }.map(_.toString).getOrElse("size"))
-    val gotSeen = engine.seen().collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
-    assert(gotSeen == want.seen,
-      s"seen-set mismatch after driver kill + resume ($tag): " +
-        s"got=${gotSeen.size} want=${want.seen.size}")
+    val (fetched, seenN) = graft.oracle.OracleAssert.assertMatches(engine, want,
+      s"after driver kill + resume ($tag)")
     info(s"$tag: killed at $roundsAtKill committed rounds " +
       s"($seenFilesAtKill live seen files), resumed to $roundsAfter; " +
-      s"fetched=${got.size} seen=${gotSeen.size} — byte-identical to the oracle")
+      s"fetched=$fetched seen=$seenN — byte-identical to the oracle")
   }
 
-  private def tail(f: java.io.File): String = {
-    val s = java.nio.file.Files.readString(f.toPath)
-    s.substring(math.max(0, s.length - 4000))
-  }
+  private def tail(f: java.io.File): String = GraftSubprocess.tail(f)
 }

@@ -19,39 +19,16 @@ class FaultToleranceSpec extends AnyFunSuite {
 
   test("crawl/retire equality vs the oracle under injected task retries " +
       "(local[8,4]); expiry sweeps failed attempts' orphan shards") {
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", cp, "graft.FaultCheck")
     val log = new java.io.File("target/fault-check/check.log")
-    log.getParentFile.mkdirs()
-    val p = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true)
-      .redirectOutput(log)
-      .start()
+    val p = GraftSubprocess.start("graft.FaultCheck", Seq.empty, log)
     val finished = p.waitFor(10, TimeUnit.MINUTES)
     if (!finished) {
       p.destroyForcibly()
-      fail(s"FaultCheck timed out; log tail:\n${tail(log)}")
+      fail(s"FaultCheck timed out; log tail:\n${GraftSubprocess.tail(log)}")
     }
     assert(p.exitValue() == 0,
-      s"FaultCheck exited ${p.exitValue()}; log tail:\n${tail(log)}")
-    assert(tail(log).contains("FAULT-CHECK OK all sites"), s"log tail:\n${tail(log)}")
-  }
-
-  private def tail(f: java.io.File): String = {
-    val s = java.nio.file.Files.readString(f.toPath)
-    s.substring(math.max(0, s.length - 4000))
+      s"FaultCheck exited ${p.exitValue()}; log tail:\n${GraftSubprocess.tail(log)}")
+    assert(GraftSubprocess.tail(log).contains("FAULT-CHECK OK all sites"),
+      s"log tail:\n${GraftSubprocess.tail(log)}")
   }
 }

@@ -36,32 +36,15 @@ class LiveReaderSpec extends SparkTestBase {
     val fs = new HPath(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new HPath(snap), true)
 
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      // spark.hadoop.* session props flow into the subprocess's hadoopConf
-      s"-Dspark.hadoop.graft.snapshot.commit.mode=$mode",
-      "-cp", cp, "graft.CrawlMain", "/root/testdata/sf0.001", snap, "fresh")
     val log = new java.io.File(s"target/live-reader/crawl-$mode.log")
-    log.getParentFile.mkdirs()
-    val pb = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true)
-      .redirectOutput(log)
-    pb.environment().put("SPARK_GRAFT_MAX_DEPTH", cfg.maxDepth.toString)
-    pb.environment().put("SPARK_GRAFT_PER_HOST", cfg.perHostPerRound.toString)
-    pb.environment().put("SPARK_GRAFT_PARTITIONS", cfg.partitions.toString)
-    val p = pb.start()
+    val p = GraftSubprocess.start("graft.CrawlMain",
+      Seq("/root/testdata/sf0.001", snap, "fresh"), log,
+      env = Map(
+        "SPARK_GRAFT_MAX_DEPTH" -> cfg.maxDepth.toString,
+        "SPARK_GRAFT_PER_HOST" -> cfg.perHostPerRound.toString,
+        "SPARK_GRAFT_PARTITIONS" -> cfg.partitions.toString),
+      // spark.hadoop.* session props flow into the subprocess's hadoopConf
+      sysProps = Seq(s"-Dspark.hadoop.graft.snapshot.commit.mode=$mode"))
 
     // the reading engine must resolve the same commit mode (shared
     // session: set on the session's hadoopConf, restored afterwards)
@@ -106,8 +89,5 @@ class LiveReaderSpec extends SparkTestBase {
     }
   }
 
-  private def tail(f: java.io.File): String = {
-    val s = java.nio.file.Files.readString(f.toPath)
-    s.substring(math.max(0, s.length - 4000))
-  }
+  private def tail(f: java.io.File): String = GraftSubprocess.tail(f)
 }
