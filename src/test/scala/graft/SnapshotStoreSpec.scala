@@ -178,4 +178,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
     java.nio.file.Files.write(dataFile, original)
   }
+
+  test("rename mode: a fresh store answers no-commits without retry " +
+      "sleeps; an in-flight commit (tmp present) makes readers wait") {
+    val root = freshDir("renamefresh")
+    val store = new SnapshotStore(root, confWith())
+    assert(store.commitMode == "rename")
+    // root dir exists, no manifest, no .manifest.tmp: the committer's
+    // invariant (manifest ∨ tmp at every instant of a commit) says
+    // nothing is in flight — must answer immediately, not burn the
+    // ~300 ms of retry sleeps the pre-fix code slept (paid by every
+    // first commit and every DriverKill/LiveReader poll)
+    val t0 = System.nanoTime()
+    assert(store.committedRounds().isEmpty)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 250, s"fresh-store read took $ms ms — retry sleeps burned")
+
+    // commit-in-flight window: manifest absent but tmp present — a
+    // reader must WAIT for the swap, not conclude the store is fresh
+    val fs = store.fs
+    val tmp = new Path(root, ".manifest.tmp")
+    fs.create(tmp, true).close()
+    val line = entry(store, 0, Seq(s"$root/round=0/seen_delta"))
+    val finisher = new Thread(() => {
+      Thread.sleep(80) // inside the reader's retry window (20+40+... ms)
+      val out = fs.create(new Path(root, "manifest.jsonl"), true)
+      try out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(tmp, false)
+    })
+    finisher.start()
+    assert(store.committedRounds() == Seq(0),
+      "reader must wait out the in-flight commit instead of reading fresh")
+    finisher.join()
+  }
 }
