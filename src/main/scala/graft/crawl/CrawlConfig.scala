@@ -74,4 +74,27 @@ final case class CrawlConfig(
     * cache-eviction recompute after an executor loss would re-scan it —
     * keepLast=1 would have deleted it. (Offline expireRounds calls on a
     * quiesced snapshot may use keepLast=1.) */
-  expireKeepLast: Int = 2)
+  expireKeepLast: Int = 2,
+  /** Follow media spans: enqueue each media span's `media_ref` as a
+    * frontier candidate alongside the text spans' extracted links — the
+    * asset-fetching half of a crawler over INTERLEAVED text+media
+    * documents (BASELINE.json "interleaved" payload; a PyCrawler-class
+    * crawler downloads the images/videos its pages reference, not just
+    * the pages). [PINNED semantics, mirrored in CrawlOracle]:
+    *  - a media_ref is followed iff it starts with "media://" and has a
+    *    non-empty host (refs are emitted absolute + canonical by the
+    *    corpus producer; the RFC 3986 http(s) canonicalizer deliberately
+    *    does not apply to the opaque media scheme — the ref is used
+    *    byte-verbatim, so span byte-equality and URL identity agree);
+    *  - candidate order within a document is span order — a media span
+    *    contributes its single ref at (span_idx, link_pos=0), text spans
+    *    their extracted links in extraction order — so the intra-round
+    *    first-discovery-wins dedup key is unchanged;
+    *  - media URLs flow through the SAME robots filter (host rules,
+    *    path longest-prefix match), per-host politeness clock (assets
+    *    are served by the same host budget), depth cap, seen set and
+    *    fetch log as page URLs; their fetch resolves to no document
+    *    (status "media", doc_id "") and extracts nothing — media is a
+    *    leaf. Off by default: the pinned text-only crawl stays
+    *    byte-identical to rounds 1–3. */
+  followMedia: Boolean = false)

@@ -589,13 +589,24 @@ final class CrawlEngine(
           hosting.select(col("page_hash"), col("doc_id"), col("status")),
           schedWide("url_hash") === col("page_hash"), "left")
         .drop("page_hash")
-        .withColumn("status", coalesce(col("status"), lit("missing")))
+        // media URLs resolve to no hosting row by design (assets, not
+        // pages): status "media", never "missing" — only in media mode so
+        // the default plan stays byte-identical
+        .withColumn("status", coalesce(col("status"),
+          if (cfg.followMedia)
+            when(col("url_canon").startsWith("media://"), lit("media"))
+              .otherwise(lit("missing"))
+          else lit("missing")))
         .withColumn("doc_id", coalesce(col("doc_id"), lit("")))
         .withColumn("round", ref_int(round))
         .observe(fetchObs,
           sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok"),
-          sum(when(col("status") === "404", 1L).otherwise(0L)).as("s404"),
-          sum(when(col("status") === "missing", 1L).otherwise(0L)).as("missing"))
+          (Seq(
+            sum(when(col("status") === "404", 1L).otherwise(0L)).as("s404"),
+            sum(when(col("status") === "missing", 1L).otherwise(0L)).as("missing")) ++
+            (if (cfg.followMedia)
+              Seq(sum(when(col("status") === "media", 1L).otherwise(0L)).as("media"))
+            else Seq.empty)): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       lap("fetchjoin-def")
       // ONE materialization of the scheduler + GlobalOrder + fetch-join
@@ -629,7 +640,9 @@ final class CrawlEngine(
       val statusCounts = Map(
         "ok" -> obsLong(fetchObs, "ok"),
         "404" -> obsLong(fetchObs, "s404"),
-        "missing" -> obsLong(fetchObs, "missing"))
+        "missing" -> obsLong(fetchObs, "missing")) ++
+        (if (cfg.followMedia) Map("media" -> obsLong(fetchObs, "media"))
+        else Map.empty)
       val deniedCount = math.max(0L, frontierRows - schedAllCount)
       // rows beyond the per-host cap carry; rows beyond the total budget
       // are dropped ([PINNED] — matches the oracle's take())
@@ -694,17 +707,39 @@ final class CrawlEngine(
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
       lap("schedallcount")
       val okDocs = fetched.filter(col("status") === "ok" && col("doc_id") =!= "")
-      val links = okDocs
+      val spansExploded = okDocs
         .join(docs, Seq("doc_id"))
         .select(col("fetch_ts"), col("host").as("src_host"),
           col("url_hash").as("src_hash"),
           col("url_canon").as("base_url"), col("depth"),
           posexplode(col("spans")).as(Seq("span_idx", "span")))
-        .filter(col("span.kind") === "text")
-        .select(col("fetch_ts"), col("src_host"), col("src_hash"),
-          col("base_url"), col("depth"),
-          col("span_idx"), posexplode(extract_urls(col("span.text"))).as(Seq("link_pos", "raw")))
-        .withColumn("link_canon", canonicalize_url(col("raw"), col("base_url")))
+      // Media-follow (cfg.followMedia, [PINNED] — see CrawlConfig): media
+      // spans contribute their media_ref verbatim at link_pos 0; stays ONE
+      // codegen pass (the `when` folds both kinds into one posexplode —
+      // no second docs scan, no union). Default path is byte-identical to
+      // the text-only form.
+      val links0 =
+        if (!cfg.followMedia)
+          spansExploded
+            .filter(col("span.kind") === "text")
+            .select(col("fetch_ts"), col("src_host"), col("src_hash"),
+              col("base_url"), col("depth"),
+              col("span_idx"), posexplode(extract_urls(col("span.text"))).as(Seq("link_pos", "raw")))
+            .withColumn("link_canon", canonicalize_url(col("raw"), col("base_url")))
+        else
+          spansExploded
+            .select(col("fetch_ts"), col("src_host"), col("src_hash"),
+              col("base_url"), col("depth"),
+              col("span_idx"), col("span.kind").as("kind"),
+              posexplode(
+                when(col("span.kind") === "text", extract_urls(col("span.text")))
+                  .otherwise(array(col("span.media_ref")))).as(Seq("link_pos", "raw")))
+            .withColumn("link_canon",
+              when(col("kind") === "text", canonicalize_url(col("raw"), col("base_url")))
+                .otherwise(when(col("raw").startsWith("media://") &&
+                  host_of(col("raw")) =!= "", col("raw"))))
+            .drop("kind")
+      val links = links0
         .filter(col("link_canon").isNotNull)
         .filter(col("depth") + 1 <= cfg.maxDepth)
 
@@ -796,6 +831,7 @@ final class CrawlEngine(
         "fetched_ok" -> statusCounts.getOrElse("ok", 0L).toDouble,
         "fetched_404" -> statusCounts.getOrElse("404", 0L).toDouble,
         "fetched_missing" -> statusCounts.getOrElse("missing", 0L).toDouble,
+        "fetched_media" -> statusCounts.getOrElse("media", 0L).toDouble,
         "robots_denied" -> deniedCount.toDouble,
         "candidates" -> candCount.toDouble,
         "new_urls" -> newCount.toDouble,

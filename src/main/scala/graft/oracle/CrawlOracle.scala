@@ -92,14 +92,28 @@ final class CrawlOracle(corpus: CorpusGen.Corpus, cfg: CrawlConfig) {
       kept.zipWithIndex.foreach { case ((e, rn, ts), i) =>
         val seq = fetchedSoFar + i + 1
         val page = pageByCanon.get(e.urlCanon)
-        val status = page.map(_.status).getOrElse("missing")
+        // media URLs (media mode only — they cannot enter the frontier
+        // otherwise) resolve to no hosting row: status "media", doc ""
+        val status = page.map(_.status).getOrElse(
+          if (cfg.followMedia && e.urlCanon.startsWith("media://")) "media" else "missing")
         val docId = page.map(_.doc_id).getOrElse("")
         log += OracleFetch(seq, e.urlCanon, e.urlHash, e.host, e.depth, round, rn, ts, status, docId)
         if (status == "ok" && docId.nonEmpty) {
-          spansByDoc(docId).filter(_.kind == "text").foreach { span =>
-            UrlExtract.extract(span.text).foreach { raw =>
-              val c = UrlCanon.canonicalize(raw, e.urlCanon)
-              if (c != null && e.depth + 1 <= cfg.maxDepth) {
+          // spans in order; text spans extract links in extraction order,
+          // media spans (media mode) contribute their ref verbatim at that
+          // span position — the engine's (span_idx, link_pos) order
+          spansByDoc(docId).foreach { span =>
+            if (span.kind == "text") {
+              UrlExtract.extract(span.text).foreach { raw =>
+                val c = UrlCanon.canonicalize(raw, e.urlCanon)
+                if (c != null && e.depth + 1 <= cfg.maxDepth) {
+                  candidates += Entry(c, UrlHash.hash64(c), UrlCanon.hostOf(c), e.depth + 1)
+                }
+              }
+            } else if (cfg.followMedia) {
+              val c = span.media_ref
+              if (c != null && c.startsWith("media://") && UrlCanon.hostOf(c).nonEmpty &&
+                e.depth + 1 <= cfg.maxDepth) {
                 candidates += Entry(c, UrlHash.hash64(c), UrlCanon.hostOf(c), e.depth + 1)
               }
             }

@@ -288,6 +288,18 @@ object GoldenOracles {
       f.round, f.fetchTs, f.status, f.docId))
     fetchRows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q09_crawl.parquet")
 
+    // q37: the media-follow crawl variant. The query pins the SMOKE tier
+    // regardless of the Verify tier (CrawlOps scaladoc: no second
+    // bench-tier crawl per Bench run), so the golden is the sequential
+    // oracle on the SMOKE corpus with the exact q37 config.
+    val smoke = CorpusGen.Smoke
+    val mediaCfg = graft.queries.CrawlOps.crawlConfigFor(
+      spark.sessionState.conf.numShufflePartitions, smoke).copy(followMedia = true)
+    val mediaRes = new CrawlOracle(CorpusGen.build(smoke), mediaCfg).run()
+    mediaRes.log.map(f => FetchRow(f.seq, f.urlCanon, f.host, f.depth,
+        f.round, f.fetchTs, f.status, f.docId))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q37_media_crawl.parquet")
+
     val emb = loadEmbeddings(spark, sfDir)
     cosineTopK(emb).toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/q28_cosine_topk.parquet")

@@ -164,6 +164,40 @@ object CrawlOps {
         .orderBy("seq")
     }),
 
+    // E1 media-follow variant: the crawl with media_ref spans enqueued
+    // (CrawlConfig.followMedia — the asset-fetching half of an
+    // interleaved text+media crawler). Pinned to the SMOKE tier
+    // regardless of `dir` (like SparkEntry.entry): q09 already gates the
+    // crawl at the given tier, and the media variant's correctness does
+    // not need a second bench-tier crawl in every Bench run. The DuckDB
+    // oracle reads the golden fixture GoldenOracles writes from the
+    // sequential CrawlOracle run with the same config.
+    "q37_media_crawl" -> ((s, dir) => {
+      val d = fx(s, "/root/testdata/sf0.001")
+      val tier = CorpusGen.Smoke
+      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
+        .copy(followMedia = true)
+      val engine = new CrawlEngine(s, d, s"target/crawl-run-media/${tier.name}", cfg)
+      engine.runFresh()
+      engine.close()
+      engine.fetchLog()
+        .select("seq", "url_canon", "host", "depth", "round", "fetch_ts", "status", "doc_id")
+        .orderBy("seq")
+    }),
+
+    // media-ref inventory: per (host, kind) asset counts off the media
+    // spans — the data path q37 follows, SQL-expressible so the DuckDB
+    // gate checks it directly at the Verify tier
+    "q38_media_refs" -> ((s, dir) => {
+      CorpusGen.interleaved(s, fx(s, dir))
+        .select(posexplode(col("spans")))
+        .select(col("col.kind").as("kind"), col("col.media_ref").as("media_ref"))
+        .filter(col("kind") =!= "text" && col("media_ref") =!= "")
+        .groupBy(host_of(col("media_ref")).as("host"), col("kind"))
+        .agg(count(lit(1)).as("n_refs"), countDistinct(col("media_ref")).as("n_assets"))
+        .orderBy("host", "kind")
+    }),
+
     // multimodal plumbing: media spans → deterministic stub decode
     // (image/audio libs absent — the decode is a PINNED fake; schema,
     // partitioning and batch shape are real)
@@ -218,6 +252,23 @@ object CrawlOps {
       s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
          |FROM read_parquet('$GOLD/q09_crawl.parquet/*.parquet')
          |ORDER BY seq""".stripMargin,
+
+    "q37_media_crawl" ->
+      s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
+         |FROM read_parquet('$GOLD/q37_media_crawl.parquet/*.parquet')
+         |ORDER BY seq""".stripMargin,
+
+    "q38_media_refs" ->
+      // hostOf stops at '/', ':' or '?' after the scheme — corpus media
+      // hosts are plain (no port/userinfo), so the regex mirror is exact
+      s"""SELECT regexp_extract(media_ref, '^media://([^/:?]+)', 1) AS host, kind,
+         | CAST(COUNT(*) AS BIGINT) AS n_refs,
+         | CAST(COUNT(DISTINCT media_ref) AS BIGINT) AS n_assets
+         |FROM (
+         | SELECT unnest(spans, recursive := true)
+         | FROM read_parquet('$FX/interleaved.parquet/*.parquet'))
+         |WHERE kind <> 'text' AND media_ref <> ''
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q01_spans" ->
       s"""SELECT doc_id, span_idx, kind, media_ref, "offset", md5(text) AS text_md5 FROM (
