@@ -94,6 +94,11 @@ object BenchFrontier {
       .config("spark.sql.autoBroadcastJoinThreshold", -1) // measure the shuffle path
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B knob: shuffle/spill block codec (default lz4). zstd trades
+      // CPU for bytes — the right trade iff the run is bus/IO-bound, so
+      // measure per regime rather than assume.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
     executors match {
       case Some(e) =>
         builder.master(s"local-cluster[$e,$cpus,$execMb]")
