@@ -243,8 +243,22 @@ object ClusterCheck {
       require(got2Seen == want2.seen,
         s"post-retire seen mismatch: got=${got2Seen.size} want=${want2.seen.size}")
 
+      // media-follow under multi-JVM: the round-4 extraction branch
+      // (media_ref candidates interleaving with text links through the
+      // same politeness/dedup path) asserted byte-identical to the
+      // sequential oracle across forked executors
+      val mCfg = cfg.copy(followMedia = true)
+      val e3 = new CrawlEngine(spark, fixtureDir, s"$snap-media", mCfg)
+      e3.runFresh()
+      val wantM = new CrawlOracle(corpus, mCfg).run()
+      val (fetchedM, seenM) = OracleAssert.assertMatches(e3, wantM,
+        s"media-follow under local-cluster[$executors,$coresPer]")
+      require(wantM.log.exists(_.status == "media"),
+        "media-follow cluster check fetched no media URL (vacuous)")
+
       println(s"CLUSTER-CHECK OK executors=$executors coresPer=$coresPer " +
-        s"fetched=$fetched seen=$seen retire_resume_seen=${got2Seen.size}")
+        s"fetched=$fetched seen=$seen retire_resume_seen=${got2Seen.size} " +
+        s"media_fetched=$fetchedM media_seen=$seenM")
     } finally spark.stop()
   }
 
