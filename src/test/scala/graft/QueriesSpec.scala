@@ -36,6 +36,21 @@ class QueriesSpec extends SparkTestBase {
     assert(missing.isEmpty, missing.toString)
   }
 
+  test("crawl partitions are data-sized: tiny tiers shrink, bench tier keeps session parallelism") {
+    import graft.corpus.CorpusGen
+    import graft.queries.CrawlOps.crawlConfigFor
+    // smoke/correctness rounds are ~50-500 URLs — 32 tasks per stage is
+    // pure dispatch overhead (measured: smoke q09 35.2 -> 19.6 s at c32)
+    assert(crawlConfigFor(32, CorpusGen.Smoke).partitions == 8)
+    assert(crawlConfigFor(32, CorpusGen.Correctness).partitions == 8)
+    // the bench tier (500k docs) must NOT shrink below the session's
+    // parallelism — the driver's q09 scoreboard runs on this config
+    assert(crawlConfigFor(32, CorpusGen.Bench).partitions == 32)
+    assert(crawlConfigFor(8, CorpusGen.Bench).partitions == 8)
+    // never above the session's parallelism either
+    assert(crawlConfigFor(2, CorpusGen.Smoke).partitions == 2)
+  }
+
   test("exact-dup pairs all surface in q25 LSH output") {
     import spark.implicits._
     val pairs = SparkEntry.queries("q25_lsh_pairs")(spark, dir)
