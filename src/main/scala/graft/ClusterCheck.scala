@@ -283,13 +283,17 @@ object ClusterCheck {
       val bulk = manifest.filter(e => m(e, "scheduled") >= fetched * 0.02)
       val bulkWork = bulk.map(e => m(e, "scheduled") + m(e, "candidates")).sum
       val bulkSec = bulk.map(m(_, "round_sec")).sum
+      // -1 sentinel, not 0/0=NaN (invalid JSON — json.load would reject
+      // the whole line): no round may cross the 2% threshold, e.g. >50
+      // uniform rounds or a run where only round 0 committed
+      val steady = if (bulkSec > 0.0) bulkWork / bulkSec else -1.0
       println(
         s"""{"executors":$executors,"cores_per_executor":$coresPer,""" +
           s""""sf":"$sfDir","crawl_sec":$wallSec,"fetched":$fetched,""" +
           s""""dedup_candidates":$candidates,""" +
           s""""urls_per_sec":${(fetched + candidates) / wallSec},""" +
           s""""steady_rounds":${bulk.size},"steady_sec":$bulkSec,""" +
-          s""""steady_urls_per_sec":${bulkWork / bulkSec}}""")
+          s""""steady_urls_per_sec":$steady}""")
     } finally spark.stop()
   }
 }

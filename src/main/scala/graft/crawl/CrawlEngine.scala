@@ -187,6 +187,16 @@ final class CrawlEngine(
     // (review finding). Everything below derives from this one entry.
     val entry = store.readManifest().lastOption.getOrElse(
       throw new IllegalStateException("no committed snapshot to retire from"))
+    // same fail-fast as loop()'s resume: bucketed seen files, pmod
+    // shards and lineage arrays are laid out by `partitions`, and this
+    // commit re-stamps the field — a mismatched retire would both corrupt
+    // the bucket-aligned anti-join AND overwrite the very field resume's
+    // own require() checks, masking the corruption (review finding)
+    val snapP = Option(entry.getOrElse("partitions", null))
+      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+    require(snapP == 0 || snapP == cfg.partitions,
+      s"snapshot at $snapshotRoot was written with partitions=$snapP; " +
+        s"retireHost requires the same (config has ${cfg.partitions})")
     val round = entry("round").asInstanceOf[Number].intValue()
     val next = round + 1
     val seenPaths = store.pathsOf(entry, "seen_paths")
@@ -201,12 +211,17 @@ final class CrawlEngine(
     val retiredCount = retired.count()
     retired.coalesce(cfg.snapshotWriteFiles)
       .write.mode("overwrite").parquet(store.tombstonesPath(next))
+    // count rides the write (single pass): re-reading the just-written
+    // parquet purely for the manifest row count was a second full scan
+    // of the frontier per takedown (review finding)
+    val frontObs = new org.apache.spark.sql.Observation(s"retire-front-$next")
     spark.read.schema(frontierSchema).parquet(store.frontierPath(round))
       .filter(col("host") =!= host)
+      .observe(frontObs, count(lit(1)).as("n"))
       .coalesce(cfg.snapshotWriteFiles)
       .write.mode("overwrite").parquet(store.frontierPath(next))
     val frontierRows =
-      spark.read.schema(frontierSchema).parquet(store.frontierPath(next)).count()
+      Option(frontObs.get("n")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
     val bloomPaths: Array[String] =
       if (cfg.useBloom && cfg.seenFilter == "cuckoo")
         SeenSet.retireFromShards(spark, retired.select("url_hash"),
@@ -673,11 +688,15 @@ final class CrawlEngine(
           if (budgetActive) (fetched, () => ())
           else GlobalOrder.withSeqCached(fetched,
             Seq(col("fetch_ts"), col("host"), col("url_hash")), "seq", offsetAtRound)
-        logFrame.select("seq", "url_canon", "url_hash", "host", "depth", "round",
+        // finally: a failed write must still release the pinned range-
+        // layout cache, or a caller that catches the crawl failure and
+        // keeps the session (Bench does) carries the leak into every
+        // subsequent query (review finding)
+        try logFrame.select("seq", "url_canon", "url_hash", "host", "depth", "round",
             "rn", "fetch_ts", "status", "doc_id")
           .coalesce(cfg.snapshotWriteFiles)
           .write.mode("overwrite").parquet(store.fetchLogPath(thisRound))
-        seqCleanup()
+        finally seqCleanup()
       }
       lap("statuscounts")
 

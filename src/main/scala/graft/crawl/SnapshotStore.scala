@@ -237,13 +237,40 @@ final class SnapshotStore(rootSpec: String,
           // the two checks leaves tmp absent with the manifest BACK —
           // re-check it so that case loops and reads instead of
           // concluding fresh
-        } else if ((!fs.exists(manifestTmpPath) && !fs.exists(manifestPath))
-            || attempt >= 5) {
+        } else if (!fs.exists(manifestTmpPath) && !fs.exists(manifestPath)) {
           require(!fs.exists(manifestLogDir),
             s"$root has a log-mode manifest (manifest.d/) but commit mode " +
               "resolved to 'rename'; set graft.snapshot.commit.mode=log to " +
               "read it")
           return Seq.empty
+        } else if (attempt >= 5) {
+          // manifest stayed absent with .manifest.tmp present across the
+          // whole retry window. A LIVE committer's delete→rename swap is
+          // sub-millisecond, so this is a CRASHED commit (e.g. driver
+          // SIGKILL between the local FS's delete and rename halves of
+          // rename-with-OVERWRITE) — and the committer's protocol writes
+          // tmp fully and closes it BEFORE the swap, so tmp holds the
+          // complete manifest. Returning "fresh" here would be data
+          // loss: the next commit() would compute existing="" and
+          // permanently truncate the multi-round history (review
+          // finding). Read tmp instead, keeping the longest prefix of
+          // parseable lines: a torn TAIL is only reachable when the
+          // committer died mid-tmp-write on a store whose manifest never
+          // existed (otherwise the manifest would still be present), so
+          // dropping it drops nothing that was ever committed.
+          try {
+            val lines = readFileText(manifestTmpPath)
+              .linesIterator.filter(_.nonEmpty).toSeq
+            return lines.takeWhile { l =>
+              try { mapper.readTree(l); true }
+              catch { case _: Exception => false }
+            }
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              // the committer finished its swap after all — the manifest
+              // is back; restart the retry budget and read it
+              attempt = 0
+          }
         }
         attempt += 1
         Thread.sleep(20L * attempt)

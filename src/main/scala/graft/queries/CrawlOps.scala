@@ -182,8 +182,8 @@ object CrawlOps {
     // oracle reads the golden fixture GoldenOracles writes from the
     // sequential CrawlOracle run with the same config.
     "q37_media_crawl" -> ((s, dir) => {
-      val d = fx(s, "/root/testdata/sf0.001")
       val tier = CorpusGen.Smoke
+      val d = CorpusGen.ensure(s, tier)
       val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
         .copy(followMedia = true)
       val engine = new CrawlEngine(s, d, s"target/crawl-run-media/${tier.name}", cfg)

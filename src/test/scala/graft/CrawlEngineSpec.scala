@@ -286,6 +286,20 @@ class CrawlEngineSpec extends SparkTestBase {
     after.keys.foreach(h => assert(reader.mightContain(h), "false negative after retire"))
   }
 
+  test("retireHost refuses a partitions mismatch before touching the store " +
+      "(same fail-fast as resume)") {
+    engine // force the shared snapshot at snapDir("main")
+    val mismatched = new CrawlEngine(spark, fixtureDir, snapDir("main"),
+      cfg.copy(partitions = cfg.partitions * 2))
+    val before = mismatched.store.readManifest().size
+    val ex = intercept[IllegalArgumentException] {
+      mismatched.retireHost("anyhost.example")
+    }
+    assert(ex.getMessage.contains("partitions"), ex.getMessage)
+    // the guard fired before any write: no tombstone round was committed
+    assert(mismatched.store.readManifest().size == before)
+  }
+
   test("mid-crawl retire + re-discovery resume equals the sequential oracle " +
       "exactly (log, seen set, first_round)") {
     val e = new CrawlEngine(spark, fixtureDir, snapDir("retire-rediscover"), cfg)

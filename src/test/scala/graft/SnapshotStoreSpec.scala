@@ -212,4 +212,48 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "reader must wait out the in-flight commit instead of reading fresh")
     finisher.join()
   }
+
+  test("rename mode: a crashed swap (manifest deleted, complete tmp left) " +
+      "rolls forward — history is read back and the next commit keeps it") {
+    val root = freshDir("crashedswap")
+    val store = new SnapshotStore(root, confWith())
+    (0 to 3).foreach(r => store.commit(entry(store, r, Seq(s"$root/round=$r/seen_delta"))))
+    // simulate a driver SIGKILL between the local FS's delete and rename
+    // halves of rename-with-OVERWRITE: the complete manifest sits in
+    // .manifest.tmp and manifest.jsonl is gone
+    val fs = store.fs
+    val manifest = new Path(root, "manifest.jsonl")
+    val tmp = new Path(root, ".manifest.tmp")
+    assert(fs.rename(manifest, tmp), "test setup: move manifest into tmp")
+    // a reader must exhaust its live-commit retry window and then read
+    // tmp — NOT conclude the store is fresh (pre-fix: Seq.empty, and the
+    // next commit would truncate the history to one entry)
+    val reader = new SnapshotStore(root, confWith())
+    assert(reader.committedRounds() == Seq(0, 1, 2, 3),
+      "crashed-swap store must read back its full history from tmp")
+    // the next commit incorporates the rolled-forward history and
+    // repairs the store (manifest back, all five rounds visible fast)
+    store.commit(entry(store, 4, Seq(s"$root/round=4/seen_delta")))
+    assert(fs.exists(manifest))
+    assert(new SnapshotStore(root, confWith()).committedRounds() ==
+      Seq(0, 1, 2, 3, 4))
+  }
+
+  test("rename mode: a torn tmp on a never-committed store (writer died " +
+      "mid-tmp-write) reads as fresh, not as garbage") {
+    val root = freshDir("torntmp")
+    val store = new SnapshotStore(root, confWith())
+    val fs = store.fs
+    fs.mkdirs(new Path(root))
+    val out = fs.create(new Path(root, ".manifest.tmp"), true)
+    try out.write("""{"round": 0, "rows": {"fron""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // manifest never existed; tmp is a torn prefix — the longest
+    // parseable prefix is empty, so the store is (correctly) fresh
+    assert(store.committedRounds().isEmpty)
+    // and a real commit over the torn tmp succeeds and is visible
+    store.commit(entry(store, 0, Seq(s"$root/round=0/seen_delta")))
+    assert(store.committedRounds() == Seq(0))
+  }
 }
