@@ -127,8 +127,9 @@ final class CrawlEngine(
   /** (Re)write the bucketed+sorted seen base for `round` from `df` and
     * register it as the base table. Returns the qualified base path. */
   private def writeSeenBase(round: Int, df: DataFrame): String = {
-    val bp = store.qualified(store.seenBasePath(round))
-    store.deleteDir(bp)
+    // unique path: a split-brain loser's compaction must never delete or
+    // overwrite a base file the winner's manifest references
+    val bp = store.qualified(store.uniquePath(round, "seen_base"))
     spark.sql(s"DROP TABLE IF EXISTS $baseTableName")
     // repartition on url_hash matches the bucket hash → one file per
     // bucket, so the bucketed scan is both exchange- and sort-free
@@ -209,17 +210,19 @@ final class CrawlEngine(
       .select(col("url_hash"), lit(next).as("retire_round"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val retiredCount = retired.count()
+    val tombP = store.uniquePath(next, "tombstones")
     retired.coalesce(cfg.snapshotWriteFiles)
-      .write.mode("overwrite").parquet(store.tombstonesPath(next))
+      .write.mode("overwrite").parquet(tombP)
     // count rides the write (single pass): re-reading the just-written
     // parquet purely for the manifest row count was a second full scan
     // of the frontier per takedown (review finding)
     val frontObs = new org.apache.spark.sql.Observation(s"retire-front-$next")
-    spark.read.schema(frontierSchema).parquet(store.frontierPath(round))
+    val retFrontP = store.uniquePath(next, "frontier")
+    spark.read.schema(frontierSchema).parquet(store.frontierPathOf(entry))
       .filter(col("host") =!= host)
       .observe(frontObs, count(lit(1)).as("n"))
       .coalesce(cfg.snapshotWriteFiles)
-      .write.mode("overwrite").parquet(store.frontierPath(next))
+      .write.mode("overwrite").parquet(retFrontP)
     val frontierRows =
       Option(frontObs.get("n")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
     val bloomPaths: Array[String] =
@@ -242,23 +245,28 @@ final class CrawlEngine(
       lineage,
       Map("fetched_total" -> fetchedTotal, "retired" -> retiredCount.toDouble),
       seenPaths, bloomPaths.toSeq, cfg.partitions,
-      tombstonePaths = tombPaths :+ store.tombstonesPath(next),
-      hostReadyPath = Some(store.hostReadyPathOf(entry))))
+      tombstonePaths = tombPaths :+ tombP,
+      hostReadyPath = Some(store.hostReadyPathOf(entry)),
+      frontierPath = Some(retFrontP)))
     retiredCount
   }
 
   /** Full crawl order: the fetch log of all committed rounds, in global
     * (round, fetch_ts, host, url_hash) order == seq order. */
   def fetchLog(): DataFrame = {
-    val rounds = store.committedRounds().filter(r => store.exists(store.fetchLogPath(r)))
+    // entry-pointer assembly (unique fetch-log paths since round 4; the
+    // per-entry fallback is the entry round's conventional dir — exactly
+    // the old scan set, since committed rounds == entries' rounds).
+    // Existence-filtered: entry 0 and retire rounds commit no log.
+    val paths = store.readManifest().map(store.fetchLogPathOf).filter(store.exists)
     // schema-carrying empty frame, not spark.emptyDataFrame: callers
     // (spansEmitted, oracle comparisons) select fetch-log columns and
     // must get zero rows, not UNRESOLVED_COLUMN (review finding)
-    if (rounds.isEmpty)
+    if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(fetchLogSchema))
-    spark.read.schema(fetchLogSchema).parquet(rounds.map(store.fetchLogPath): _*)
+    spark.read.schema(fetchLogSchema).parquet(paths: _*)
   }
 
   /** The authoritative (exact) seen set: the live (compacted base +
@@ -313,34 +321,42 @@ final class CrawlEngine(
   // ---- round 0 ---------------------------------------------------------
 
   private def initRound0(): Unit = {
+    // unique data paths throughout (store.uniquePath): the manifest entry
+    // carries every path it references, so no commit attempt can ever
+    // overwrite another attempt's committed files (split-brain safety —
+    // see SnapshotStore.commit)
+    val frontierP = store.uniquePath(0, "frontier")
+    val deltaP = store.uniquePath(0, "seen_delta")
+    val hostReadyP = store.uniquePath(0, "hostready")
     val seeds = CorpusGen.seeds(spark, fixtureDir)
       .select(canonicalize_url(col("url_canon")).as("url_canon"))
       .withColumn("url_hash", xxhash64(col("url_canon")))
       .withColumn("host", host_of(col("url_canon")))
       .withColumn("depth", lit(0))
-    seeds.write.mode("overwrite").parquet(store.frontierPath(0))
-    val delta = spark.read.schema(frontierSchema).parquet(store.frontierPath(0))
+    seeds.write.mode("overwrite").parquet(frontierP)
+    val delta = spark.read.schema(frontierSchema).parquet(frontierP)
       .select(col("url_hash"), col("url_canon"), lit(0).as("first_round"))
-    delta.write.mode("overwrite").parquet(store.seenDeltaPath(0))
+    delta.write.mode("overwrite").parquet(deltaP)
     val (bloomPaths, lineage) =
       if (cfg.useBloom)
         SeenSet.buildShards(spark,
-          spark.read.schema(seenSchema).parquet(store.seenDeltaPath(0)).select("url_hash"),
+          spark.read.schema(seenSchema).parquet(deltaP).select("url_hash"),
           None, store.bloomsDir(0), cfg.partitions, cfg.bloomShardCapacity, cfg.bloomFpp,
           cfg.seenFilter)
       else (Array.empty[String],
-        bucketCounts(spark.read.schema(seenSchema).parquet(store.seenDeltaPath(0))))
+        bucketCounts(spark.read.schema(seenSchema).parquet(deltaP)))
     // host-ready carries delay_ms (static per host) so the scheduler's
     // per-round hostMeta broadcast is a plain snapshot read — round 2
     // shuffle-joined delays ⟗ ready inside every round's broadcast future
     delaysDf.select(col("host"), lit(0L).as("ready_ts"), col("delay_ms"))
       .coalesce(cfg.snapshotWriteFiles)
-      .write.mode("overwrite").parquet(store.hostReadyPath(0))
+      .write.mode("overwrite").parquet(hostReadyP)
     val nSeeds = lineage.sum
     store.commit(store.entryJson(0, -1,
       Map("frontier" -> nSeeds, "seen_delta" -> nSeeds, "fetchlog" -> 0L),
-      lineage, Map("fetched_total" -> 0.0), Seq(store.seenDeltaPath(0)),
-      bloomPaths.toSeq, cfg.partitions))
+      lineage, Map("fetched_total" -> 0.0), Seq(deltaP),
+      bloomPaths.toSeq, cfg.partitions,
+      hostReadyPath = Some(hostReadyP), frontierPath = Some(frontierP)))
   }
 
   private def bucketCounts(df: DataFrame): Seq[Long] = {
@@ -352,22 +368,29 @@ final class CrawlEngine(
   // ---- the loop --------------------------------------------------------
 
   private def loop(maxRounds: Int): CrawlSummary = {
-    var round = store.lastCommitted().getOrElse(
+    // ONE manifest read for the whole resume (same review class as
+    // retireHost's fix): the per-field liveX() accessors each re-read the
+    // manifest — in log mode re-listing manifest.d per call — and two
+    // independent reads can straddle a concurrent commit, pairing round
+    // N's seen files with round N+1's cleared tombstone list. Everything
+    // below derives from this one entry.
+    val resumeEntry = store.readManifest().lastOption.getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
+    var round = resumeEntry("round").asInstanceOf[Number].intValue()
     // Fail fast on a pre-delay_ms-format snapshot: host-ready is the SOLE
     // source of per-host delay since round 3 (hostMetaDf no longer joins
     // delaysDf), and reading an old 2-column file through the 3-column
     // schema would silently null every delay (→ defaultDelayMs politeness
     // for all hosts) instead of erroring (review finding).
-    // liveHostReadyPath, not hostReadyPath(round): a retire round points
+    // hostReadyPathOf, not hostReadyPath(round): a retire round points
     // back at its parent's file instead of copying O(#hosts) rows
-    val hostReadyLive = store.liveHostReadyPath()
+    val hostReadyLive = store.hostReadyPathOf(resumeEntry)
     val hostReadyActual = spark.read.parquet(hostReadyLive).schema
     require(hostReadyActual.fieldNames.contains("delay_ms"),
       s"host-ready snapshot at $hostReadyLive predates the " +
         "delay_ms-carrying format; re-run the crawl from scratch (runFresh)")
     var hostReadyDf = spark.read.schema(hostReadySchema).parquet(hostReadyLive)
-    val seenPaths0: Seq[String] = store.liveSeenPaths()
+    val seenPaths0: Seq[String] = store.pathsOf(resumeEntry, "seen_paths")
     // The compacted seen base lives as a BUCKETED (by url_hash, sorted)
     // external table: the exact anti-join's big side then scans
     // bucket-aligned with NO exchange and NO sort every round — the
@@ -391,27 +414,30 @@ final class CrawlEngine(
     // fail fast on config/snapshot mismatches: bucketed files, pmod
     // shards and lineage arrays are all laid out by `partitions`, and a
     // silent mismatch would corrupt the exact anti-join (review finding)
-    val snapP = store.livePartitions()
+    val snapP = Option(resumeEntry.getOrElse("partitions", null))
+      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
     require(snapP == 0 || snapP == cfg.partitions,
       s"snapshot at $snapshotRoot was written with partitions=$snapP; " +
         s"resume requires the same (config has ${cfg.partitions})")
     val bloomReader0: Option[BloomShardReader] =
       if (cfg.useBloom) {
-        val paths = store.liveBloomPaths()
+        val paths = store.pathsOf(resumeEntry, "bloom_paths").toArray
         require(paths.length == cfg.partitions,
           s"snapshot has ${paths.length} bloom shards but config expects " +
             s"${cfg.partitions} (useBloom toggled across resume, or partitions changed)")
         Some(new BloomShardReader(paths, store.confSer))
       } else None
-    val lastEntry = store.readManifest().lastOption
-    var fetchedSoFar = lastEntry
-      .map(_("metrics").asInstanceOf[java.util.Map[String, Any]]
-        .get("fetched_total").asInstanceOf[Number].longValue())
-      .getOrElse(0L)
-    var frontierRows = lastEntry
-      .map(_("rows").asInstanceOf[java.util.Map[String, Any]]
-        .get("frontier").asInstanceOf[Number].longValue())
-      .getOrElse(0L)
+    // the round's frontier file is a unique path carried by the manifest
+    // (split-brain safety; pre-pointer manifests fall back to the
+    // conventional round=R/frontier) — threaded through the loop: each
+    // round's sink picks a fresh unique path and the next round reads it
+    var frontierPathCur = store.frontierPathOf(resumeEntry)
+    var fetchedSoFar = resumeEntry("metrics")
+      .asInstanceOf[java.util.Map[String, Any]]
+      .get("fetched_total").asInstanceOf[Number].longValue()
+    var frontierRows = resumeEntry("rows")
+      .asInstanceOf[java.util.Map[String, Any]]
+      .get("frontier").asInstanceOf[Number].longValue()
     var roundsRun = 0
 
     import scala.concurrent.{Await, Future}
@@ -431,7 +457,7 @@ final class CrawlEngine(
     // tail before any cache it scans is released).
     var tail: Future[SeenState] =
       Future.successful(SeenState(seenPaths0, basePath0, bloomReader0,
-        store.liveTombstonePaths()))
+        store.pathsOf(resumeEntry, "tombstone_paths")))
     var frontierReady: Future[Unit] = Future.successful(())
 
     // The round plans are hand-shaped (explicit partition counts, salting,
@@ -480,7 +506,7 @@ final class CrawlEngine(
       // until the previous tail joins the sink — here we only need the
       // FILE, so this await is all the read depends on
       Await.result(frontierReady, Inf)
-      val frontier = spark.read.schema(frontierSchema).parquet(store.frontierPath(round))
+      val frontier = spark.read.schema(frontierSchema).parquet(frontierPathCur)
 
       // P4: robots filter — longest-prefix-match via a codegen'd
       // expression over the compiled rule index (no UDF in the hot
@@ -679,6 +705,7 @@ final class CrawlEngine(
       // (review finding: a busy ExecutionContext delayed the body past
       // `round = next`, silently losing a full round of crawl output)
       val thisRound = round
+      val fetchLogP = store.uniquePath(thisRound, "fetchlog")
       val fetchLogFut = Future {
         // fast path: seq is assigned HERE, over the hot fetched cache —
         // the whole GlobalOrder subtree (range-partitioner sampling job,
@@ -695,7 +722,7 @@ final class CrawlEngine(
         try logFrame.select("seq", "url_canon", "url_hash", "host", "depth", "round",
             "rn", "fetch_ts", "status", "doc_id")
           .coalesce(cfg.snapshotWriteFiles)
-          .write.mode("overwrite").parquet(store.fetchLogPath(thisRound))
+          .write.mode("overwrite").parquet(fetchLogP)
         finally seqCleanup()
       }
       lap("statuscounts")
@@ -706,6 +733,7 @@ final class CrawlEngine(
       // CONCURRENTLY with it (Spark schedules jobs from multiple threads;
       // the small sink hides under the big extraction job).
       val next = round + 1
+      val hostReadyP = store.uniquePath(next, "hostready")
       val hostReadyFut = scala.concurrent.Future {
         val perHostAdd = fetched.groupBy("host").agg(count(lit(1)).as("cnt"))
           .join(broadcast(delaysDf), Seq("host"), "left")
@@ -720,7 +748,7 @@ final class CrawlEngine(
           .groupBy("host").agg(sum(col("v")).as("ready_ts"),
             max(col("delay_ms")).as("delay_ms"))
           .coalesce(cfg.snapshotWriteFiles)
-          .write.mode("overwrite").parquet(store.hostReadyPath(next))
+          .write.mode("overwrite").parquet(hostReadyP)
       }(scala.concurrent.ExecutionContext.global)
 
       // X1/X2/X3: parse-extract-canonicalize, all inside one codegen stage
@@ -810,9 +838,10 @@ final class CrawlEngine(
       // ---- commit round R+1 snapshot ----
       lap("newurls-def")
       // likewise uncoalesced: materializes the extraction + probe chain
+      val deltaP = store.uniquePath(next, "seen_delta")
       val delta = newUrls
         .select(col("url_hash"), col("url_canon"), ref_int(next).as("first_round"))
-      delta.write.mode("overwrite").parquet(store.seenDeltaPath(next))
+      delta.write.mode("overwrite").parquet(deltaP)
       // exact count off the hot probe-stage cache when blooms are on —
       // the candObs Observation stays only as the no-bloom fallback (its
       // accumulators can double-fire on racing cache materialization in
@@ -827,17 +856,18 @@ final class CrawlEngine(
       // frontier sink depends only on the schedAll/newUrls caches — it
       // overlaps the tail's shard build; the NEXT round's frontier read
       // gates on it via frontierReady
+      val frontierP = store.uniquePath(next, "frontier")
       val frontierFut = Future {
         carried.unionByName(newUrls.select("url_canon", "url_hash", "host", "depth"))
           .coalesce(cfg.snapshotWriteFiles)
-          .write.mode("overwrite").parquet(store.frontierPath(next))
+          .write.mode("overwrite").parquet(frontierP)
       }
       // host-ready feeds the NEXT round's scheduler definition on the
       // main path, so it is joined here (cheap: launched right after the
       // fetched materialization, it has been running under the whole
       // extraction chain)
       Await.result(hostReadyFut, Inf)
-      hostReadyDf = spark.read.schema(hostReadySchema).parquet(store.hostReadyPath(next))
+      hostReadyDf = spark.read.schema(hostReadySchema).parquet(hostReadyP)
       lap("hostready-join")
 
       fetchedSoFar += schedCount
@@ -889,7 +919,7 @@ final class CrawlEngine(
         // seen scan a bounded number of files (amortized-log rewrite).
         // Retire tombstones fold out here too — the one base rewrite
         // they were deferred to — and the tombstone list clears.
-        var paths = st.seenPaths :+ store.seenDeltaPath(next)
+        var paths = st.seenPaths :+ deltaP
         var base = st.basePath
         var tombPaths = st.tombPaths
         if (paths.size >= cfg.seenCompactEvery) {
@@ -913,7 +943,9 @@ final class CrawlEngine(
           Map("frontier" -> frontierRowsNext, "seen_delta" -> newCount,
             "fetchlog" -> schedCount),
           lineage, metrics, paths, bloomPaths.toSeq, cfg.partitions,
-          tombstonePaths = tombPaths))
+          tombstonePaths = tombPaths,
+          hostReadyPath = Some(hostReadyP), frontierPath = Some(frontierP),
+          fetchLogPath = Some(fetchLogP)))
         // every consumer of this round's caches has landed — release them
         roundCaches.foreach(_.unpersist())
         probeCleanup() // release the bloom probe-stage cache
@@ -930,6 +962,7 @@ final class CrawlEngine(
         SeenState(paths, base, nextReader, tombPaths)
       }
       frontierReady = frontierFut
+      frontierPathCur = frontierP
       round = next
       true
     }

@@ -6,6 +6,16 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import scala.jdk.CollectionConverters._
 
+/** A committer lost an optimistic-concurrency race: another driver
+  * committed the same (or a later) round first. The Iceberg
+  * `CommitFailedException` analogue — the caller must NOT treat its
+  * attempt as durable; the correct reaction for a crawl driver is to die
+  * (a second driver owns the store now) or re-resume from the winner's
+  * state. Thrown BEFORE any manifest mutation in the precondition case,
+  * and after self-cleanup in the log-mode lost-race case, so a conflicted
+  * store never holds the loser's entry. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Serializable carrier for a Hadoop Configuration (Configuration itself
   * is a Writable, not Serializable) — shipped to executors so shard
   * build/probe tasks open the SAME FileSystem the driver committed
@@ -62,22 +72,39 @@ final class HadoopConfSer(@transient private var conf: Configuration) extends Se
   * → `log`, anything else → `rename`). The rename path is never invoked
   * in `log` mode, verified by a rename-refusing FileSystem in tests.
   *
-  * Layout under `root`:
+  * ==Optimistic concurrency (split-brain safety)==
+  * [[commit]] implements the Iceberg `CommitFailedException` contract:
+  * two drivers racing commits on one store cannot silently fork or
+  * truncate history — the loser gets [[CommitConflictException]]. `log`
+  * mode is exact for concurrent committers (per-round winner
+  * verification over immutable uniquely-named entries); `rename` mode is
+  * single-live-committer by contract with best-effort stale-committer
+  * detection, the same stance as Iceberg's Hadoop tables. Data files
+  * participate through UNIQUE per-commit paths ([[uniquePath]]) carried
+  * by the manifest entry — a loser's pre-conflict writes are invisible
+  * orphans, never overwrites of files a winning commit references.
+  *
+  * Layout under `root` (data dirs are the unique-path forms since the
+  * split-brain work, e.g. `frontier-3fa9c1b2/`; the fixed names remain
+  * as read fallbacks for older manifests):
   * {{{
   *   manifest.jsonl          one JSON object per committed round (append-only,
   *                           atomically replaced via temp-file + rename)
-  *   round=R/frontier/       parquet — the frontier entering round R
-  *   round=R/seen_delta/     parquet — url hashes first seen in round R-1's
-  *                           expansion (round 0 delta = the seed list)
-  *   round=R/fetchlog/       parquet — fetches performed in round R
-  *   round=R/blooms/         one immutable file per bloom shard UPDATED in
-  *                           round R; the manifest's bloom_paths array maps
-  *                           every shard id to its current file (untouched
-  *                           shards keep pointing at older rounds' files —
-  *                           no per-round copying)
-  *   round=R/hostready/      parquet — per-host virtual ready time entering
+  *   round=R/frontier-u/     parquet — the frontier entering round R
+  *                           (entry field frontier_path)
+  *   round=R/seen_delta-u/   parquet — url hashes first seen in round R-1's
+  *                           expansion (round 0 delta = the seed list);
+  *                           listed in seen_paths
+  *   round=R/fetchlog-u/     parquet — fetches performed in round R
+  *                           (pointed at by entry R+1's fetchlog_path)
+  *   round=R/blooms/         one immutable uuid-named file per bloom shard
+  *                           UPDATED in round R; the manifest's bloom_paths
+  *                           array maps every shard id to its current file
+  *                           (untouched shards keep pointing at older
+  *                           rounds' files — no per-round copying)
+  *   round=R/hostready-u/    parquet — per-host virtual ready time entering
   *                           round R (a Dataset, not a driver map: 10^7+
-  *                           hosts at web scale)
+  *                           hosts at web scale; entry field hostready_path)
   * }}}
   *
   * A round is visible iff its manifest line is present; partially-written
@@ -129,6 +156,21 @@ final class SnapshotStore(rootSpec: String,
   def hostReadyPath(r: Int): String = s"${roundDir(r)}/hostready"
   def tombstonesPath(r: Int): String = s"${roundDir(r)}/tombstones"
 
+  /** A fresh, never-before-used data dir for `kind` under round `r` —
+    * Iceberg's unique-data-file-path design: every committed artifact
+    * gets a name no other commit ATTEMPT can collide with, so a
+    * split-brain driver that loses the manifest race
+    * ([[CommitConflictException]]) cannot have overwritten any file a
+    * winning commit references (`mode("overwrite")` on a shared
+    * conventional path deletes the dir first — a loser racing the winner
+    * would delete committed data mid-read). The fixed-name forms above
+    * remain as the read fallback for pre-round-4 manifests. `kind` is the
+    * conventional name ([[expireRounds]] classifies children by name
+    * prefix: `fetchlog*` is crawl output and never expires, `blooms*`
+    * sweeps per-file, everything else expires by manifest reference). */
+  def uniquePath(r: Int, kind: String): String =
+    s"${roundDir(r)}/$kind-${java.util.UUID.randomUUID().toString.take(8)}"
+
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
   /** Fully-qualified URI form of `path` (e.g. for a bucketed table's
@@ -171,6 +213,16 @@ final class SnapshotStore(rootSpec: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Immutable-entry cache for `log` mode: a committed `manifest.d/`
+    * object is never rewritten (uuid names, create-no-overwrite), so its
+    * text can be cached by NAME forever. Without this every manifest read
+    * re-GETs every entry — O(rounds) GETs per read, O(rounds²) over a
+    * 1000-round crawl's lifetime of per-round reads (and real money on an
+    * object store). Only successful parses are cached: a torn in-flight
+    * PUT must be re-read on the next call (it may have completed). */
+  private val logEntryCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
+
   /** Committed manifest entries as raw JSON lines, in round order.
     * `log` mode lists `manifest.d/` (names sort by zero-padded round;
     * uuid suffix tiebreaks a duplicate round deterministically — first
@@ -195,12 +247,15 @@ final class SnapshotStore(rootSpec: String,
       files.flatMap { p =>
         // torn/in-flight PUT (unparseable, or persistently checksum-torn
         // because the writer is mid-create): simply not committed yet
-        val parsed =
+        val parsed = logEntryCache.get(p.getName).orElse {
           try {
             val text = readFileText(p).trim
-            Some((text, mapper.readTree(text).get("round").asInt()))
+            val pair = (mapper.readTree(text).get("round").asInt(), text)
+            logEntryCache.put(p.getName, pair)
+            Some(pair)
           } catch { case _: Exception => None }
-        parsed.collect { case (text, round) if seenRounds.add(round) => text }
+        }
+        parsed.collect { case (round, text) if seenRounds.add(round) => text }
       }
     case _ =>
       // A committer's rename-with-OVERWRITE is atomic on HDFS (native
@@ -289,37 +344,112 @@ final class SnapshotStore(rootSpec: String,
       mapper.readValue(l, classOf[java.util.Map[String, Any]]).asScala.toMap
     }
 
-  /** Make a round visible. `rename` mode: rewrite manifest to temp +
-    * rename-with-overwrite — the primitive Iceberg's
-    * HadoopTableOperations uses; atomic on HDFS (native rename2), but on
-    * the LOCAL FS the OVERWRITE option is delete-then-rename, so readers
-    * tolerate the brief missing-file window (see manifestLines). `log`
-    * mode: create ONE new immutable uniquely-named object — no rename
-    * anywhere on the path, safe on object stores (see class doc). */
-  def commit(entryJson: String): Unit = commitMode match {
-    case "log" =>
-      fs.mkdirs(manifestLogDir)
-      val round = mapper.readTree(entryJson).get("round").asInt()
-      val name = f"r$round%09d-${java.util.UUID.randomUUID()}.json"
-      // overwrite=false: the uuid makes collisions impossible, and a
-      // same-name overwrite would indicate a logic error worth failing on
-      val out = fs.create(new Path(manifestLogDir, name), false)
-      try out.write((entryJson + "\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    case _ =>
-      fs.mkdirs(new Path(root))
-      val existing = manifestLines().mkString("", "\n", "\n") match {
-        case "\n" => ""
-        case s => s
-      }
-      // readers rely on the invariant that manifest ∨ tmp exists at every
-      // instant from here to the swap (see manifestLines' fresh-store
-      // fast path)
-      val tmp = manifestTmpPath
-      val out = fs.create(tmp, true)
-      try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      fc.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+  /** Test-only injection point: runs between the log-mode PUT and its
+    * winner verification, so a spec can land a competing same-round entry
+    * inside the race window deterministically (the FaultInjection
+    * pattern). A no-op in production. */
+  private[graft] var afterLogPut: () => Unit = () => ()
+
+  /** Make a round visible, with optimistic concurrency (the Iceberg
+    * `CommitFailedException` contract): two drivers resuming the same
+    * store race their next round's commit, and exactly one may win —
+    * the loser gets [[CommitConflictException]] instead of silently
+    * forking or truncating the history.
+    *
+    *  - Both modes check the CAS precondition first: committing round R
+    *    against a store whose last committed round is already >= R is a
+    *    lost race (the competing driver advanced the store) — fail before
+    *    writing anything.
+    *  - `log` mode is EXACT for concurrent committers on any FS with
+    *    atomic object creation (S3/GCS/ABFS, HDFS, local): after the PUT,
+    *    the committer lists its round's entries and checks it holds the
+    *    winning name under the readers' deterministic duplicate-round
+    *    rule (first parseable name wins). A loser deletes its own object
+    *    and throws — both racers apply the same rule to the same listing,
+    *    so exactly one wins and every reader agrees with it.
+    *  - `rename` mode keeps the single-live-committer contract of
+    *    Iceberg's own Hadoop tables (whose docs require an external lock
+    *    manager for concurrent writers): the whole-manifest
+    *    read-append-swap cannot detect a racer that swaps AFTER this
+    *    committer's own swap, so the precondition CAS is best-effort
+    *    detection only — it catches the split-brain driver that fell
+    *    behind (the common case: both resumed from round R and the other
+    *    committed R+1 first), not a sub-millisecond photo finish.
+    *    Deployments that need true concurrent committers use `log` mode,
+    *    which works on every FS this engine targets.
+    *
+    * Mechanics per mode: `rename` rewrites the manifest to a temp file
+    * and swaps with rename-with-OVERWRITE (atomic on HDFS; on the local
+    * FS the OVERWRITE is delete-then-rename, so readers tolerate the
+    * brief missing-file window — see manifestLines). `log` creates ONE
+    * immutable uniquely-named object — no rename anywhere on the path,
+    * safe on object stores (see class doc). */
+  def commit(entryJson: String): Unit = {
+    val round = mapper.readTree(entryJson).get("round").asInt()
+    // CAS precondition (both modes): the manifest read is free in rename
+    // mode (the swap needs the existing lines anyway) and cheap in log
+    // mode (immutable-entry cache — only unseen names are GET)
+    def preconditionCheck(lines: Seq[String]): Unit =
+      lines.lastOption.map(l => mapper.readTree(l).get("round").asInt())
+        .filter(_ >= round)
+        .foreach(last => throw new CommitConflictException(
+          s"commit of round $round lost to a concurrent committer: " +
+            s"$root is already at round $last (resumed twice? split-brain " +
+            "driver?) — this attempt wrote nothing"))
+    commitMode match {
+      case "log" =>
+        preconditionCheck(manifestLines())
+        fs.mkdirs(manifestLogDir)
+        val name = f"r$round%09d-${java.util.UUID.randomUUID()}.json"
+        // overwrite=false: the uuid makes collisions impossible, and a
+        // same-name overwrite would indicate a logic error worth failing on
+        val out = fs.create(new Path(manifestLogDir, name), false)
+        try out.write((entryJson + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        afterLogPut()
+        // winner verification: mirror the readers' duplicate-round rule
+        // exactly (first name that PARSES wins — a torn in-flight PUT
+        // sorting first must not steal the round from a committed entry)
+        val winner = fs.listStatus(manifestLogDir).toSeq.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".json") && n.startsWith(f"r$round%09d-")
+          }
+          .sortBy(_.getName)
+          .find { p =>
+            p.getName == name || // ours parses by construction
+              logEntryCache.contains(p.getName) || {
+                try { mapper.readTree(readFileText(p)); true }
+                catch { case _: Exception => false }
+              }
+          }
+        if (!winner.exists(_.getName == name)) {
+          fs.delete(new Path(manifestLogDir, name), false)
+          throw new CommitConflictException(
+            s"commit of round $round lost to a concurrent committer: " +
+              s"${winner.map(_.getName).getOrElse("?")} won the round under " +
+              s"$root/manifest.d — this attempt's entry was removed")
+        }
+        // our entry is immutable from here — the committer's own next
+        // manifest read (every round reads before appending) skips the GET
+        logEntryCache.put(name, (round, entryJson.trim))
+      case _ =>
+        fs.mkdirs(new Path(root))
+        val lines = manifestLines()
+        preconditionCheck(lines)
+        val existing = lines.mkString("", "\n", "\n") match {
+          case "\n" => ""
+          case s => s
+        }
+        // readers rely on the invariant that manifest ∨ tmp exists at every
+        // instant from here to the swap (see manifestLines' fresh-store
+        // fast path)
+        val tmp = manifestTmpPath
+        val out = fs.create(tmp, true)
+        try out.write((existing + entryJson + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        fc.rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Serialize one manifest entry. `lineage` carries per-partition
@@ -339,7 +469,9 @@ final class SnapshotStore(rootSpec: String,
                 lineage: Seq[Long], metrics: Map[String, Double],
                 seenPaths: Seq[String], bloomPaths: Seq[String] = Seq.empty,
                 partitions: Int = 0, tombstonePaths: Seq[String] = Seq.empty,
-                hostReadyPath: Option[String] = None): String = {
+                hostReadyPath: Option[String] = None,
+                frontierPath: Option[String] = None,
+                fetchLogPath: Option[String] = None): String = {
     val node = mapper.createObjectNode()
     node.put("round", round)
     node.put("parent", parent)
@@ -357,6 +489,8 @@ final class SnapshotStore(rootSpec: String,
       tombstonePaths.foreach(tp.add)
     }
     hostReadyPath.foreach(node.put("hostready_path", _))
+    frontierPath.foreach(node.put("frontier_path", _))
+    fetchLogPath.foreach(node.put("fetchlog_path", _))
     val met = node.putObject("metrics")
     metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
     mapper.writeValueAsString(node)
@@ -391,6 +525,27 @@ final class SnapshotStore(rootSpec: String,
     Option(entry.getOrElse("hostready_path", null))
       .map(_.asInstanceOf[String])
       .getOrElse(hostReadyPath(entry("round").asInstanceOf[Number].intValue()))
+
+  /** The frontier a manifest entry's round starts from: its explicit
+    * pointer (unique-path commits, round 4+) or the round's conventional
+    * path (pre-pointer manifests). */
+  def frontierPathOf(entry: Map[String, Any]): String =
+    Option(entry.getOrElse("frontier_path", null))
+      .map(_.asInstanceOf[String])
+      .getOrElse(frontierPath(entry("round").asInstanceOf[Number].intValue()))
+
+  /** The fetch log a manifest entry committed, if any: the entry for
+    * round R+1 carries the log of round R's fetches (an explicit pointer
+    * on unique-path commits; pre-pointer manifests wrote it at round R's
+    * conventional path — which is why the fallback keys on the ENTRY's
+    * round: the old reader scanned every committed round r for an
+    * existing `round=r/fetchlog`, and entry r is always committed before
+    * round r's step runs). Callers filter by existence — entry 0 and
+    * retire rounds commit no log. */
+  def fetchLogPathOf(entry: Map[String, Any]): String =
+    Option(entry.getOrElse("fetchlog_path", null))
+      .map(_.asInstanceOf[String])
+      .getOrElse(fetchLogPath(entry("round").asInstanceOf[Number].intValue()))
 
   /** Live seen-set parquet paths as of the last committed round. */
   def liveSeenPaths(): Seq[String] =
@@ -433,11 +588,10 @@ final class SnapshotStore(rootSpec: String,
     * at its parent's file) and the round's own frontier. Exactly the set
     * a resume from that round reads. */
   private def referencedPaths(entry: Map[String, Any]): Seq[String] = {
-    val r = entry("round").asInstanceOf[Number].intValue()
     def strList(k: String): Seq[String] = pathsOf(entry, k).filter(_ != null)
     (strList("seen_paths") ++ strList("bloom_paths") ++
       strList("tombstone_paths") ++
-      Seq(hostReadyPathOf(entry), frontierPath(r))).map(qualified)
+      Seq(hostReadyPathOf(entry), frontierPathOf(entry))).map(qualified)
   }
 
   /** Expire old rounds' unreferenced data files — the Iceberg
@@ -496,15 +650,22 @@ final class SnapshotStore(rootSpec: String,
       if (r >= 0 && !committed.contains(r)) {
         if (removeOrphans) drop(rd)
       } else if (r >= 0 && r < minKept) {
-        for (sub <- Seq("frontier", "seen_delta", "seen_base", "hostready", "tombstones")) {
-          val p = new Path(rd, sub)
-          if (fs.exists(p) && !refs(qualified(p.toString))) drop(p)
-        }
-        val blooms = new Path(rd, "blooms")
-        if (fs.exists(blooms)) {
-          val files = fs.listStatus(blooms).toSeq.map(_.getPath)
-          files.filterNot(f => refs(qualified(f.toString))).foreach(drop)
-          if (fs.listStatus(blooms).isEmpty) { fs.delete(blooms, true); () }
+        // children are classified by name prefix: conventional names
+        // ("frontier", "seen_delta", ...) and their unique-path forms
+        // ("frontier-3fa9c1b2", ...) share prefixes by construction
+        // (uniquePath's contract). fetchlog* is the crawl's OUTPUT and
+        // never expires; blooms* sweeps per-file because a kept round's
+        // bloom_paths may point INTO an old round's dir.
+        for (child <- fs.listStatus(rd).toSeq.map(_.getPath)) {
+          val name = child.getName
+          if (name.startsWith("blooms")) {
+            val files = fs.listStatus(child).toSeq.map(_.getPath)
+            files.filterNot(f => refs(qualified(f.toString))).foreach(drop)
+            if (fs.listStatus(child).isEmpty) { fs.delete(child, true); () }
+          } else if (!name.startsWith("fetchlog") &&
+              !refs(qualified(child.toString))) {
+            drop(child)
+          }
         }
       }
     }

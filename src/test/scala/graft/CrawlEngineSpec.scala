@@ -424,8 +424,10 @@ class CrawlEngineSpec extends SparkTestBase {
       assert(m(e, "robots_denied") >= 0)
       assert(m(e, "scheduled") > 0)
       // committed frontier row count must equal the real parquet rows
+      // (frontierPathOf: frontier files live at manifest-carried unique
+      // paths since the split-brain-safe data plane)
       val round = e("round").asInstanceOf[Number].intValue()
-      val actual = spark.read.parquet(engine.store.frontierPath(round)).count()
+      val actual = spark.read.parquet(engine.store.frontierPathOf(e)).count()
       assert(rows(e, "frontier") == actual,
         s"manifest frontier=${rows(e, "frontier")} != parquet $actual at round $round")
     }

@@ -55,23 +55,26 @@ class SnapshotExpirySpec extends SparkTestBase {
     val logBefore = collectLog(e)
     val seenBefore = collectSeen(e.seen())
     // fetchlog of round r holds the fetches performed DURING round r
-    // (committed by round r+1's entry); capture the dirs pre-expiry
-    val logDirs = (0 to last).filter(r => store.exists(store.fetchLogPath(r)))
+    // (committed by round r+1's entry, which carries its unique path);
+    // capture the dirs pre-expiry
+    val logDirs = store.readManifest().map(store.fetchLogPathOf).filter(store.exists)
     assert(logDirs.nonEmpty)
+    val entry0 = store.entryFor(0).get
+    val frontier0 = store.frontierPathOf(entry0)
+    val delta0 = store.pathsOf(entry0, "seen_paths").head
 
     val deleted = store.expireRounds(keepLast = 1)
     assert(deleted > 0, "expiry had nothing to delete after a 10-round crawl")
 
     // every fetchlog survives (the crawl's output)...
-    logDirs.foreach(r => assert(store.exists(store.fetchLogPath(r)),
-      s"fetchlog of round $r was expired"))
+    logDirs.foreach(p => assert(store.exists(p), s"fetchlog $p was expired"))
     // ...and so does the full manifest (lineage + metrics history)
     assert(store.committedRounds().size == last + 1)
 
     // superseded state of early rounds is gone (round 0's frontier and
     // seed delta were compacted into the base long before the last round)
-    assert(!store.exists(store.frontierPath(0)), "round 0 frontier kept")
-    assert(!store.exists(store.seenDeltaPath(0)), "round 0 seen delta kept")
+    assert(!store.exists(frontier0), "round 0 frontier kept")
+    assert(!store.exists(delta0), "round 0 seen delta kept")
 
     // the live round reads identically after expiry
     assert(collectLog(e) == logBefore)
@@ -141,8 +144,11 @@ class SnapshotExpirySpec extends SparkTestBase {
     assert(collectLog(e) == collectLog(full))
     assert(collectSeen(e.seen()) == collectSeen(full.seen()))
     // early superseded state is gone without any manual expire call
-    assert(!e.store.exists(e.store.frontierPath(0)))
-    assert(!e.store.exists(e.store.seenDeltaPath(0)))
+    // (paths resolved off entry 0's pointers — the manifest itself is
+    // never expired, so they stay addressable after deletion)
+    val entry0 = e.store.entryFor(0).get
+    assert(!e.store.exists(e.store.frontierPathOf(entry0)))
+    assert(!e.store.exists(e.store.pathsOf(entry0, "seen_paths").head))
     // and a resume on the auto-expired snapshot still works (no-op here —
     // frontier is empty — but it must read the live state cleanly)
     val e2 = new CrawlEngine(spark, fixtureDir, root,
@@ -175,8 +181,8 @@ class SnapshotExpirySpec extends SparkTestBase {
     val last = store.lastCommitted().get
     store.expireRounds(keepLast = 2)
     // the previous round's frontier is inside the keep window
-    assert(store.exists(store.frontierPath(last - 1)))
-    assert(store.exists(store.frontierPath(last)))
+    assert(store.exists(store.frontierPathOf(store.entryFor(last - 1).get)))
+    assert(store.exists(store.frontierPathOf(store.entryFor(last).get)))
     intercept[IllegalArgumentException] { store.expireRounds(keepLast = 0) }
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.crawl.SnapshotStore
+import graft.crawl.{CommitConflictException, SnapshotStore}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
 import org.scalatest.funsuite.AnyFunSuite
@@ -14,6 +14,21 @@ class NoRenameFileSystem extends RawLocalFileSystem {
   override def rename(src: Path, dst: Path): Boolean =
     throw new UnsupportedOperationException(
       s"rename is not available on this store: $src -> $dst")
+}
+
+/** Counts opens of manifest.d entry objects — pins the immutable-entry
+  * cache's GET economics (a 1000-round crawl reads the manifest every
+  * round; without the cache that is O(rounds²) GETs over its lifetime). */
+class CountingFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (p.toString.contains("manifest.d/")) CountingFileSystem.opens.incrementAndGet()
+    super.open(p, bufferSize)
+  }
+}
+object CountingFileSystem {
+  val opens = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Manifest commit-mode contract (SnapshotStore class doc): `log` mode
@@ -237,6 +252,96 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(fs.exists(manifest))
     assert(new SnapshotStore(root, confWith()).committedRounds() ==
       Seq(0, 1, 2, 3, 4))
+  }
+
+  test("commit CAS precondition (both modes): committing a round the store " +
+      "already has conflicts BEFORE writing; history intact; next round fine") {
+    for (mode <- Seq("rename", "log")) {
+      val root = freshDir(s"cas-$mode")
+      val store = new SnapshotStore(root,
+        confWith("graft.snapshot.commit.mode" -> mode))
+      (0 to 2).foreach(r => store.commit(entry(store, r, Seq.empty)))
+      // a split-brain driver that fell behind: its next commit targets a
+      // round the competing driver already advanced past
+      for (stale <- Seq(1, 2)) {
+        val ex = intercept[CommitConflictException] {
+          store.commit(entry(store, stale, Seq.empty))
+        }
+        assert(ex.getMessage.contains("lost to a concurrent committer"), ex.getMessage)
+      }
+      assert(store.committedRounds() == Seq(0, 1, 2), s"$mode: history damaged")
+      store.commit(entry(store, 3, Seq.empty)) // the legitimate next round
+      assert(store.committedRounds() == Seq(0, 1, 2, 3))
+    }
+  }
+
+  test("log mode: losing the PUT race throws CommitConflict and removes the " +
+      "loser's entry; readers see the winner") {
+    val root = freshDir("putrace")
+    val store = new SnapshotStore(root,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    store.commit(entry(store, 0, Seq.empty))
+    // land a competitor INSIDE the race window (after our PUT, before our
+    // winner verification) with the lexicographically-minimal name — the
+    // deterministic winner under the readers' first-name rule
+    val competitor = entry(store, 1, Seq(s"$root/round=1/competitor"))
+    val dir = new java.io.File(root, "manifest.d")
+    store.afterLogPut = () => {
+      val w = new java.io.FileWriter(new java.io.File(dir,
+        "r000000001-00000000-0000-0000-0000-000000000000.json"))
+      try w.write(competitor + "\n") finally w.close()
+    }
+    try {
+      val ex = intercept[CommitConflictException] {
+        store.commit(entry(store, 1, Seq(s"$root/round=1/loser")))
+      }
+      assert(ex.getMessage.contains("lost to a concurrent committer"), ex.getMessage)
+    } finally store.afterLogPut = () => ()
+    // exactly one round-1 entry remains (the loser deleted its own), and
+    // every reader resolves the competitor's payload
+    val round1 = dir.listFiles().map(_.getName).filter(_.startsWith("r000000001"))
+    assert(round1.length == 1, round1.mkString(", "))
+    assert(store.committedRounds() == Seq(0, 1))
+    assert(new SnapshotStore(root, confWith("graft.snapshot.commit.mode" -> "log"))
+      .liveSeenPaths() == Seq(s"$root/round=1/competitor"))
+  }
+
+  test("log mode: a TORN competitor sorting first does not steal the round " +
+      "from a committed entry") {
+    val root = freshDir("tornrace")
+    val store = new SnapshotStore(root,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    store.commit(entry(store, 0, Seq.empty))
+    val dir = new java.io.File(root, "manifest.d")
+    store.afterLogPut = () => {
+      val w = new java.io.FileWriter(new java.io.File(dir,
+        "r000000001-00000000-0000-0000-0000-000000000000.json"))
+      try w.write("""{"round": 1, "rows": {"fron""") finally w.close()
+    }
+    try store.commit(entry(store, 1, Seq(s"$root/round=1/ours")))
+    finally store.afterLogPut = () => ()
+    // our commit WON (the torn PUT is "not committed yet" to readers and
+    // to the winner rule alike), and a fresh reader agrees
+    assert(new SnapshotStore(root, confWith("graft.snapshot.commit.mode" -> "log"))
+      .liveSeenPaths() == Seq(s"$root/round=1/ours"))
+  }
+
+  test("log mode: immutable committed entries are GET once per store, not " +
+      "once per read (the O(rounds²) object-store bill)") {
+    val conf = confWith(
+      "fs.countfs.impl" -> classOf[CountingFileSystem].getName,
+      "graft.snapshot.commit.mode" -> "log")
+    val root = "countfs://" + freshDir("logcache")
+    val store = new SnapshotStore(root, conf)
+    (0 to 4).foreach(r => store.commit(entry(store, r, Seq.empty)))
+    store.readManifest() // warm any entry the committer itself didn't cache
+    val before = CountingFileSystem.opens.get()
+    (1 to 10).foreach(_ => assert(store.committedRounds() == (0 to 4)))
+    assert(CountingFileSystem.opens.get() == before,
+      s"re-reads re-GET immutable entries " +
+        s"(${CountingFileSystem.opens.get() - before} extra opens)")
+    // a FRESH store instance (no cache) still reads everything correctly
+    assert(new SnapshotStore(root, conf).committedRounds() == (0 to 4))
   }
 
   test("rename mode: a torn tmp on a never-committed store (writer died " +
