@@ -11,9 +11,9 @@ import scala.jdk.CollectionConverters._
   * `CommitFailedException` analogue — the caller must NOT treat its
   * attempt as durable; the correct reaction for a crawl driver is to die
   * (a second driver owns the store now) or re-resume from the winner's
-  * state. Thrown BEFORE any manifest mutation in the precondition case,
-  * and after self-cleanup in the log-mode lost-race case, so a conflicted
-  * store never holds the loser's entry. */
+  * state. Losers never mutate the manifest: the precondition reads
+  * first, and the log-mode CAS is an exclusive create whose loser writes
+  * nothing — a conflicted store never holds a loser's entry. */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 /** Serializable carrier for a Hadoop Configuration (Configuration itself
@@ -58,14 +58,17 @@ final class HadoopConfSer(@transient private var conf: Configuration) extends Se
   *    primitive Iceberg's HadoopTableOperations uses.
   *  - `log` (default on object stores, where rename is copy+delete and a
   *    reader can race the swap): commits never rewrite anything. Each
-  *    round appends ONE immutable, uniquely-named JSON object under
-  *    `manifest.d/` (`r<round%09d>-<uuid>.json`); readers list the
+  *    round is ONE immutable JSON object at the round's FIXED name under
+  *    `manifest.d/` (`r<round%09d>.json`, exclusive-create — the
+  *    concurrent-committer CAS, see [[commit]]); readers list the
   *    directory and assemble the manifest in name order. Visibility is
   *    object creation — atomic per object on S3/GCS/ABFS — so no reader
   *    ever observes a half-swapped manifest, and commit cost is O(1)
   *    instead of O(rounds). An entry that fails to parse (an in-flight
-  *    PUT on a store without atomic object creation) is treated as
+  *    PUT, or a crashed committer's torn create) is treated as
   *    uncommitted, exactly like a data dir without a manifest line.
+  *    (Pre-split-brain stores used `r<round%09d>-<uuid>.json` names;
+  *    readers still resolve them, first name winning a duplicate round.)
   *
   * Mode resolution: explicit `graft.snapshot.commit.mode` hadoopConf key
   * (`rename` | `log`), else by the root FS scheme ([[SnapshotStore.ObjectStoreSchemes]]
@@ -213,13 +216,15 @@ final class SnapshotStore(rootSpec: String,
     throw new IllegalStateException("unreachable")
   }
 
-  /** Immutable-entry cache for `log` mode: a committed `manifest.d/`
-    * object is never rewritten (uuid names, create-no-overwrite), so its
-    * text can be cached by NAME forever. Without this every manifest read
-    * re-GETs every entry — O(rounds) GETs per read, O(rounds²) over a
-    * 1000-round crawl's lifetime of per-round reads (and real money on an
-    * object store). Only successful parses are cached: a torn in-flight
-    * PUT must be re-read on the next call (it may have completed). */
+  /** Immutable-entry cache for `log` mode: a PARSEABLE `manifest.d/`
+    * object is never rewritten (exclusive-create CAS; the crashed-entry
+    * takeover in [[commit]] only ever overwrites a persistently-TORN
+    * occupant), so its text can be cached by NAME forever. Without this
+    * every manifest read re-GETs every entry — O(rounds) GETs per read,
+    * O(rounds²) over a 1000-round crawl's lifetime of per-round reads
+    * (and real money on an object store). Only successful parses are
+    * cached: a torn in-flight entry must be re-read on the next call (it
+    * may have completed). */
   private val logEntryCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
 
@@ -344,11 +349,11 @@ final class SnapshotStore(rootSpec: String,
       mapper.readValue(l, classOf[java.util.Map[String, Any]]).asScala.toMap
     }
 
-  /** Test-only injection point: runs between the log-mode PUT and its
-    * winner verification, so a spec can land a competing same-round entry
-    * inside the race window deterministically (the FaultInjection
-    * pattern). A no-op in production. */
-  private[graft] var afterLogPut: () => Unit = () => ()
+  /** Test-only injection point: runs between the log-mode CAS
+    * precondition and the exclusive create, so a spec can land a
+    * competing same-round entry inside the race window deterministically
+    * (the FaultInjection pattern). A no-op in production. */
+  private[graft] var beforeLogCreate: () => Unit = () => ()
 
   /** Make a round visible, with optimistic concurrency (the Iceberg
     * `CommitFailedException` contract): two drivers resuming the same
@@ -360,13 +365,29 @@ final class SnapshotStore(rootSpec: String,
     *    against a store whose last committed round is already >= R is a
     *    lost race (the competing driver advanced the store) — fail before
     *    writing anything.
-    *  - `log` mode is EXACT for concurrent committers on any FS with
-    *    atomic object creation (S3/GCS/ABFS, HDFS, local): after the PUT,
-    *    the committer lists its round's entries and checks it holds the
-    *    winning name under the readers' deterministic duplicate-round
-    *    rule (first parseable name wins). A loser deletes its own object
-    *    and throws — both racers apply the same rule to the same listing,
-    *    so exactly one wins and every reader agrees with it.
+    *  - `log` mode commits round R by EXCLUSIVE CREATE of the round's
+    *    fixed name (`r%09d.json`, `create(overwrite=false)`) — a true
+    *    compare-and-swap wherever exclusive create is atomic: HDFS and
+    *    the local FS (namenode/kernel-arbitrated), and object stores
+    *    whose connector maps it to a conditional PUT (S3 If-None-Match).
+    *    The loser's create fails; it reads the occupant and throws.
+    *    (An earlier design PUT uuid-named entries and verified by
+    *    list-after-write under the readers' first-name rule — REJECTED by
+    *    adversarial review: a later writer whose smaller-named PUT lands
+    *    after the earlier writer's verification listing steals the round,
+    *    and BOTH committers conclude they won. First-name-wins is not
+    *    first-WRITE-wins; only an arbitrated create gives that.)
+    *    Crash recovery: a committer that died between create and write
+    *    leaves a permanently-torn entry squatting on the round's name —
+    *    invisible to readers (unparseable = uncommitted) but blocking the
+    *    CAS. A later committer that finds the occupant still torn after
+    *    riding out any live writer's window (bounded retries, same budget
+    *    as the rename-mode swap recovery) overwrites it and verifies by
+    *    read-back. On check-then-act connectors (S3A without conditional
+    *    create) the read-back narrows the double-win window to the
+    *    read-vs-late-write race; deployments there should front the store
+    *    with a conditional-create-capable connector or a lock service —
+    *    the same caveat Iceberg documents for its Hadoop tables.
     *  - `rename` mode keeps the single-live-committer contract of
     *    Iceberg's own Hadoop tables (whose docs require an external lock
     *    manager for concurrent writers): the whole-manifest
@@ -375,68 +396,97 @@ final class SnapshotStore(rootSpec: String,
     *    detection only — it catches the split-brain driver that fell
     *    behind (the common case: both resumed from round R and the other
     *    committed R+1 first), not a sub-millisecond photo finish.
-    *    Deployments that need true concurrent committers use `log` mode,
-    *    which works on every FS this engine targets.
+    *    Deployments that need true concurrent committers use `log` mode.
     *
     * Mechanics per mode: `rename` rewrites the manifest to a temp file
     * and swaps with rename-with-OVERWRITE (atomic on HDFS; on the local
     * FS the OVERWRITE is delete-then-rename, so readers tolerate the
     * brief missing-file window — see manifestLines). `log` creates ONE
-    * immutable uniquely-named object — no rename anywhere on the path,
-    * safe on object stores (see class doc). */
+    * immutable fixed-per-round object — no rename anywhere on the path,
+    * safe on object stores (see class doc).
+    *
+    * Idempotent retry: re-committing a byte-identical entry that already
+    * won its round returns success (a driver that crashed between a
+    * successful commit and recording it locally may retry; the store
+    * answers what actually happened). */
   def commit(entryJson: String): Unit = {
     val round = mapper.readTree(entryJson).get("round").asInt()
     // CAS precondition (both modes): the manifest read is free in rename
     // mode (the swap needs the existing lines anyway) and cheap in log
-    // mode (immutable-entry cache — only unseen names are GET)
-    def preconditionCheck(lines: Seq[String]): Unit =
-      lines.lastOption.map(l => mapper.readTree(l).get("round").asInt())
-        .filter(_ >= round)
-        .foreach(last => throw new CommitConflictException(
-          s"commit of round $round lost to a concurrent committer: " +
-            s"$root is already at round $last (resumed twice? split-brain " +
-            "driver?) — this attempt wrote nothing"))
+    // mode (immutable-entry cache — only unseen names are GET). Returns
+    // true when the store already holds THIS exact entry (idempotent
+    // retry of our own win — succeed without writing).
+    def alreadyCommitted(lines: Seq[String]): Boolean = {
+      lines.lastOption.map(l => (mapper.readTree(l).get("round").asInt(), l))
+        .filter(_._1 >= round)
+        .map { case (last, lastLine) =>
+          if (last == round && lastLine.trim == entryJson.trim) true
+          else throw new CommitConflictException(
+            s"commit of round $round lost to a concurrent committer: " +
+              s"$root is already at round $last (resumed twice? split-brain " +
+              "driver?) — this attempt wrote nothing")
+        }
+        .getOrElse(false)
+    }
     commitMode match {
       case "log" =>
-        preconditionCheck(manifestLines())
+        if (alreadyCommitted(manifestLines())) return
         fs.mkdirs(manifestLogDir)
-        val name = f"r$round%09d-${java.util.UUID.randomUUID()}.json"
-        // overwrite=false: the uuid makes collisions impossible, and a
-        // same-name overwrite would indicate a logic error worth failing on
-        val out = fs.create(new Path(manifestLogDir, name), false)
-        try out.write((entryJson + "\n").getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        afterLogPut()
-        // winner verification: mirror the readers' duplicate-round rule
-        // exactly (first name that PARSES wins — a torn in-flight PUT
-        // sorting first must not steal the round from a committed entry)
-        val winner = fs.listStatus(manifestLogDir).toSeq.map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.endsWith(".json") && n.startsWith(f"r$round%09d-")
-          }
-          .sortBy(_.getName)
-          .find { p =>
-            p.getName == name || // ours parses by construction
-              logEntryCache.contains(p.getName) || {
-                try { mapper.readTree(readFileText(p)); true }
-                catch { case _: Exception => false }
+        beforeLogCreate()
+        val name = f"r$round%09d.json"
+        val entryPath = new Path(manifestLogDir, name)
+        val payload = (entryJson + "\n").getBytes(StandardCharsets.UTF_8)
+        def won(): Unit = logEntryCache.put(name, (round, entryJson.trim))
+        def parseable(s: String): Boolean =
+          try { mapper.readTree(s); true } catch { case _: Exception => false }
+        try {
+          val out = fs.create(entryPath, false) // the CAS: exclusive create
+          try out.write(payload) finally out.close()
+          won()
+        } catch {
+          case ioe: java.io.IOException if fs.exists(entryPath) =>
+            // the round's name is occupied: a completed competitor, a
+            // live competitor mid-write, or a crashed committer's torn
+            // entry. Ride out a live writer's window, then adjudicate.
+            var attempt = 0
+            var done = false
+            while (!done) {
+              val existing =
+                try Some(readFileText(entryPath))
+                catch { case _: Exception => None }
+              existing.filter(parseable) match {
+                case Some(text) if text.trim == entryJson.trim =>
+                  done = true; won() // idempotent retry of our own win
+                case Some(_) =>
+                  throw new CommitConflictException(
+                    s"commit of round $round lost to a concurrent " +
+                      s"committer: $name already committed under " +
+                      s"$root/manifest.d — this attempt wrote nothing")
+                case None if attempt < 5 =>
+                  attempt += 1
+                  Thread.sleep(20L * attempt)
+                case None =>
+                  // persistently torn across the whole window: a LIVE
+                  // writer completes in ms, so this is a crashed commit's
+                  // debris squatting on the round — take the name over
+                  // and verify by read-back (exact where create is
+                  // arbitrated; see scaladoc for the connector caveat)
+                  val out = fs.create(entryPath, true)
+                  try out.write(payload) finally out.close()
+                  val back = try readFileText(entryPath) catch { case _: Exception => "" }
+                  if (back.trim != entryJson.trim)
+                    throw new CommitConflictException(
+                      s"commit of round $round lost a crashed-entry " +
+                        s"takeover race on $name under $root/manifest.d")
+                  done = true; won()
               }
-          }
-        if (!winner.exists(_.getName == name)) {
-          fs.delete(new Path(manifestLogDir, name), false)
-          throw new CommitConflictException(
-            s"commit of round $round lost to a concurrent committer: " +
-              s"${winner.map(_.getName).getOrElse("?")} won the round under " +
-              s"$root/manifest.d — this attempt's entry was removed")
+            }
+          case ioe: java.io.IOException => throw ioe // real I/O failure
         }
-        // our entry is immutable from here — the committer's own next
-        // manifest read (every round reads before appending) skips the GET
-        logEntryCache.put(name, (round, entryJson.trim))
       case _ =>
         fs.mkdirs(new Path(root))
         val lines = manifestLines()
-        preconditionCheck(lines)
+        if (alreadyCommitted(lines)) return
         val existing = lines.mkString("", "\n", "\n") match {
           case "\n" => ""
           case s => s
@@ -623,10 +673,14 @@ final class SnapshotStore(rootSpec: String,
     *
     * `removeOrphans=true` additionally deletes round dirs with NO
     * manifest entry (leftovers of a crashed, never-committed round —
-    * already invisible to every reader by the atomic-commit contract).
-    * Off by default: an orphan dir above the last committed round may be
-    * a CONCURRENT crawl's in-flight round; only enable on a quiesced
-    * snapshot root.
+    * already invisible to every reader by the atomic-commit contract),
+    * and fetchlog dirs of expired rounds that NO manifest entry
+    * references (a split-brain loser writes its fetch log before its
+    * commit conflicts — debris, not output; every committed round's log
+    * is protected by its entry's fetchlog_path, conventional fallbacks
+    * included). Off by default: an orphan dir above the last committed
+    * round may be a CONCURRENT crawl's in-flight round; only enable on a
+    * quiesced snapshot root.
     *
     * Returns the number of deleted paths (dirs count as one). */
   def expireRounds(keepLast: Int = 1, removeOrphans: Boolean = false): Long = {
@@ -638,6 +692,9 @@ final class SnapshotStore(rootSpec: String,
     val minKept = roundOf(kept.head)
     val committed = manifest.map(roundOf).toSet
     val refs: Set[String] = kept.flatMap(referencedPaths).toSet
+    // every committed round's fetch log (ANY round, not just kept ones —
+    // the crawl's output is never expired)
+    val logRefs: Set[String] = manifest.map(fetchLogPathOf).map(qualified).toSet
     var deleted = 0L
     def drop(p: Path): Unit = { fs.delete(p, true); deleted += 1 }
     val rootPath = new Path(root)
@@ -662,8 +719,13 @@ final class SnapshotStore(rootSpec: String,
             val files = fs.listStatus(child).toSeq.map(_.getPath)
             files.filterNot(f => refs(qualified(f.toString))).foreach(drop)
             if (fs.listStatus(child).isEmpty) { fs.delete(child, true); () }
-          } else if (!name.startsWith("fetchlog") &&
-              !refs(qualified(child.toString))) {
+          } else if (name.startsWith("fetchlog")) {
+            // crawl OUTPUT — protected by logRefs forever; an
+            // UNreferenced fetchlog dir is a lost commit attempt's
+            // debris (split-brain loser), swept only as an orphan
+            if (removeOrphans && !logRefs(qualified(child.toString)))
+              drop(child)
+          } else if (!refs(qualified(child.toString))) {
             drop(child)
           }
         }

@@ -262,10 +262,12 @@ class SnapshotStoreSpec extends AnyFunSuite {
         confWith("graft.snapshot.commit.mode" -> mode))
       (0 to 2).foreach(r => store.commit(entry(store, r, Seq.empty)))
       // a split-brain driver that fell behind: its next commit targets a
-      // round the competing driver already advanced past
+      // round the competing driver already advanced past (differing
+      // payload — a byte-identical re-commit of the LAST round is the
+      // idempotent-retry case and succeeds by design)
       for (stale <- Seq(1, 2)) {
         val ex = intercept[CommitConflictException] {
-          store.commit(entry(store, stale, Seq.empty))
+          store.commit(entry(store, stale, Seq(s"$root/round=$stale/stale-attempt")))
         }
         assert(ex.getMessage.contains("lost to a concurrent committer"), ex.getMessage)
       }
@@ -275,20 +277,18 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("log mode: losing the PUT race throws CommitConflict and removes the " +
-      "loser's entry; readers see the winner") {
-    val root = freshDir("putrace")
+  test("log mode: losing the exclusive-create CAS throws CommitConflict; the " +
+      "loser writes nothing; readers see the winner") {
+    val root = freshDir("casrace")
     val store = new SnapshotStore(root,
       confWith("graft.snapshot.commit.mode" -> "log"))
     store.commit(entry(store, 0, Seq.empty))
-    // land a competitor INSIDE the race window (after our PUT, before our
-    // winner verification) with the lexicographically-minimal name — the
-    // deterministic winner under the readers' first-name rule
+    // land a competitor INSIDE the race window (after our precondition
+    // read, before our exclusive create) at the round's fixed name
     val competitor = entry(store, 1, Seq(s"$root/round=1/competitor"))
     val dir = new java.io.File(root, "manifest.d")
-    store.afterLogPut = () => {
-      val w = new java.io.FileWriter(new java.io.File(dir,
-        "r000000001-00000000-0000-0000-0000-000000000000.json"))
+    store.beforeLogCreate = () => {
+      val w = new java.io.FileWriter(new java.io.File(dir, "r000000001.json"))
       try w.write(competitor + "\n") finally w.close()
     }
     try {
@@ -296,34 +296,82 @@ class SnapshotStoreSpec extends AnyFunSuite {
         store.commit(entry(store, 1, Seq(s"$root/round=1/loser")))
       }
       assert(ex.getMessage.contains("lost to a concurrent committer"), ex.getMessage)
-    } finally store.afterLogPut = () => ()
-    // exactly one round-1 entry remains (the loser deleted its own), and
-    // every reader resolves the competitor's payload
+    } finally store.beforeLogCreate = () => ()
+    // exactly one round-1 entry exists (the loser never wrote), and every
+    // reader resolves the competitor's payload
     val round1 = dir.listFiles().map(_.getName).filter(_.startsWith("r000000001"))
-    assert(round1.length == 1, round1.mkString(", "))
+    assert(round1.toSeq == Seq("r000000001.json"), round1.mkString(", "))
     assert(store.committedRounds() == Seq(0, 1))
     assert(new SnapshotStore(root, confWith("graft.snapshot.commit.mode" -> "log"))
       .liveSeenPaths() == Seq(s"$root/round=1/competitor"))
   }
 
-  test("log mode: a TORN competitor sorting first does not steal the round " +
-      "from a committed entry") {
-    val root = freshDir("tornrace")
+  test("log mode: a crashed committer's torn entry squatting on the round is " +
+      "taken over; a LIVE competitor finishing mid-retry wins instead") {
+    // crashed-committer case: torn bytes at the fixed name, no one coming
+    // back — the next committer must recover the round, not wedge forever
+    val root = freshDir("tornsquat")
     val store = new SnapshotStore(root,
       confWith("graft.snapshot.commit.mode" -> "log"))
     store.commit(entry(store, 0, Seq.empty))
     val dir = new java.io.File(root, "manifest.d")
-    store.afterLogPut = () => {
-      val w = new java.io.FileWriter(new java.io.File(dir,
-        "r000000001-00000000-0000-0000-0000-000000000000.json"))
+    store.beforeLogCreate = () => {
+      val w = new java.io.FileWriter(new java.io.File(dir, "r000000001.json"))
       try w.write("""{"round": 1, "rows": {"fron""") finally w.close()
     }
     try store.commit(entry(store, 1, Seq(s"$root/round=1/ours")))
-    finally store.afterLogPut = () => ()
-    // our commit WON (the torn PUT is "not committed yet" to readers and
-    // to the winner rule alike), and a fresh reader agrees
+    finally store.beforeLogCreate = () => ()
     assert(new SnapshotStore(root, confWith("graft.snapshot.commit.mode" -> "log"))
       .liveSeenPaths() == Seq(s"$root/round=1/ours"))
+
+    // live-writer case: the occupant's torn entry COMPLETES inside the
+    // retry window (a slow competitor, not a crashed one) — we must lose,
+    // not take over
+    val root2 = freshDir("tornlive")
+    val store2 = new SnapshotStore(root2,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    store2.commit(entry(store2, 0, Seq.empty))
+    val dir2 = new java.io.File(root2, "manifest.d")
+    val competitor = entry(store2, 1, Seq(s"$root2/round=1/competitor"))
+    store2.beforeLogCreate = () => {
+      val w = new java.io.FileWriter(new java.io.File(dir2, "r000000001.json"))
+      try w.write("""{"round": 1, "rows": {"fron""") finally w.close()
+      new Thread(() => {
+        Thread.sleep(60) // inside the retry window (20+40+... ms)
+        val tmp = new java.io.File(dir2, "heal.tmp")
+        val w2 = new java.io.FileWriter(tmp)
+        try w2.write(competitor + "\n") finally w2.close()
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(dir2, "r000000001.json").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }).start()
+    }
+    try {
+      intercept[CommitConflictException] {
+        store2.commit(entry(store2, 1, Seq(s"$root2/round=1/loser")))
+      }
+    } finally store2.beforeLogCreate = () => ()
+    assert(new SnapshotStore(root2, confWith("graft.snapshot.commit.mode" -> "log"))
+      .liveSeenPaths() == Seq(s"$root2/round=1/competitor"))
+  }
+
+  test("idempotent retry: re-committing the byte-identical winning entry " +
+      "succeeds without duplicating it (both modes)") {
+    for (mode <- Seq("rename", "log")) {
+      val root = freshDir(s"idem-$mode")
+      val store = new SnapshotStore(root,
+        confWith("graft.snapshot.commit.mode" -> mode))
+      store.commit(entry(store, 0, Seq.empty))
+      val e1 = entry(store, 1, Seq(s"$root/round=1/seen"))
+      store.commit(e1)
+      store.commit(e1) // a driver retrying after an ambiguous failure
+      assert(store.committedRounds() == Seq(0, 1), s"$mode: duplicated")
+      // but a DIFFERENT round-1 payload is a genuine conflict
+      intercept[CommitConflictException] {
+        store.commit(entry(store, 1, Seq(s"$root/round=1/other")))
+      }
+    }
   }
 
   test("log mode: immutable committed entries are GET once per store, not " +

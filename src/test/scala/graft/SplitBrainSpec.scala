@@ -94,6 +94,27 @@ class SplitBrainSpec extends SparkTestBase {
       val want = new CrawlOracle(CorpusGen.build(CorpusGen.Smoke), cfg).run()
       val (fetched, seenN) = graft.oracle.OracleAssert.assertMatches(engine, want,
         "after a two-driver split-brain race")
+      // lost-race debris: the loser wrote its round's data (fetch log
+      // included) to unique paths before its commit conflicted — orphans
+      // no manifest entry references. The orphan sweep removes them
+      // WITHOUT touching any committed round's output.
+      val logsBefore = engine.fetchLog().count()
+      store.expireRounds(keepLast = 1, removeOrphans = true)
+      assert(engine.fetchLog().count() == logsBefore,
+        "orphan sweep deleted a committed fetch log")
+      val logRefs = store.readManifest()
+        .map(e => store.qualified(store.fetchLogPathOf(e))).toSet
+      val lastRound = store.lastCommitted().get
+      for (e <- store.readManifest(); r = e("round").asInstanceOf[Number].intValue()
+           if r < lastRound) {
+        val rd = new HPath(store.roundDir(r))
+        if (store.fs.exists(rd))
+          store.fs.listStatus(rd).map(_.getPath)
+            .filter(_.getName.startsWith("fetchlog"))
+            .foreach(p => assert(logRefs(store.qualified(p.toString)),
+              s"lost-race fetchlog debris survived the orphan sweep: $p"))
+      }
+
       info(s"loser=$loserTag died on CommitConflict; winner completed " +
         s"${store.committedRounds().size} rounds, fetched=$fetched " +
         s"seen=$seenN — byte-identical to the oracle")
