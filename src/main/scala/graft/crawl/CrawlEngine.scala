@@ -254,11 +254,18 @@ final class CrawlEngine(
   /** Full crawl order: the fetch log of all committed rounds, in global
     * (round, fetch_ts, host, url_hash) order == seq order. */
   def fetchLog(): DataFrame = {
-    // entry-pointer assembly (unique fetch-log paths since round 4; the
-    // per-entry fallback is the entry round's conventional dir — exactly
-    // the old scan set, since committed rounds == entries' rounds).
-    // Existence-filtered: entry 0 and retire rounds commit no log.
-    val paths = store.readManifest().map(store.fetchLogPathOf).filter(store.exists)
+    // entry-pointer assembly (unique fetch-log paths since round 4): a
+    // pointer-carrying entry's log is ALWAYS durable (the sink is joined
+    // before commit), so no existence probe — at 10^4 rounds that was
+    // O(rounds) object-store HEADs per read. Pre-pointer entries fall
+    // back to the entry round's conventional dir, existence-filtered
+    // (entry 0 and retire rounds commit no log) — exactly the old scan
+    // set, since committed rounds == entries' rounds.
+    val paths = store.readManifest().flatMap { e =>
+      Option(e.getOrElse("fetchlog_path", null)).map(_.asInstanceOf[String])
+        .orElse(Some(store.fetchLogPath(e("round").asInstanceOf[Number].intValue()))
+          .filter(store.exists))
+    }
     // schema-carrying empty frame, not spark.emptyDataFrame: callers
     // (spansEmitted, oracle comparisons) select fetch-log columns and
     // must get zero rows, not UNRESOLVED_COLUMN (review finding)
