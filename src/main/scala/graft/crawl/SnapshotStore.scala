@@ -184,7 +184,12 @@ final class SnapshotStore(rootSpec: String,
   /** Create an empty marker file (e.g. a _DONE flag). */
   def touch(path: String): Unit = fs.create(new Path(path), true).close()
 
-  def wipe(): Unit = deleteDir(root)
+  def wipe(): Unit = {
+    deleteDir(root)
+    // a fresh crawl at this root reuses the fixed per-round entry names —
+    // this instance must not serve the dead table's cached entries
+    logEntryCache.clear()
+  }
 
   def deleteDir(path: String): Unit = {
     val p = new Path(path)
@@ -219,14 +224,22 @@ final class SnapshotStore(rootSpec: String,
   /** Immutable-entry cache for `log` mode: a PARSEABLE `manifest.d/`
     * object is never rewritten (exclusive-create CAS; the crashed-entry
     * takeover in [[commit]] only ever overwrites a persistently-TORN
-    * occupant), so its text can be cached by NAME forever. Without this
-    * every manifest read re-GETs every entry — O(rounds) GETs per read,
+    * occupant), so its text can be cached by NAME. Without this every
+    * manifest read re-GETs every entry — O(rounds) GETs per read,
     * O(rounds²) over a 1000-round crawl's lifetime of per-round reads
     * (and real money on an object store). Only successful parses are
     * cached: a torn in-flight entry must be re-read on the next call (it
-    * may have completed). */
+    * may have completed).
+    *
+    * Entries are validated against the listing's (length, mtime): a
+    * wipe + fresh crawl at the same root REUSES the fixed per-round
+    * names, and a name-only cache would serve the DEAD table's entries
+    * to any store instance that outlives the wipe (this instance after
+    * runFresh, or a long-lived dashboard reader in another process).
+    * The listStatus the reader already performs carries both fields —
+    * validation costs no extra I/O. Keyed (len, mtime, round, text). */
   private val logEntryCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int, String)]
 
   /** Committed manifest entries as raw JSON lines, in round order.
     * `log` mode lists `manifest.d/` (names sort by zero-padded round;
@@ -246,20 +259,25 @@ final class SnapshotStore(rootSpec: String,
         return Seq.empty
       }
       val files = fs.listStatus(manifestLogDir).toSeq
-        .map(_.getPath).filter(_.getName.endsWith(".json"))
-        .sortBy(_.getName)
+        .filter(_.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName)
       val seenRounds = scala.collection.mutable.Set.empty[Int]
-      files.flatMap { p =>
+      files.flatMap { st =>
+        val p = st.getPath
         // torn/in-flight PUT (unparseable, or persistently checksum-torn
         // because the writer is mid-create): simply not committed yet
-        val parsed = logEntryCache.get(p.getName).orElse {
-          try {
-            val text = readFileText(p).trim
-            val pair = (mapper.readTree(text).get("round").asInt(), text)
-            logEntryCache.put(p.getName, pair)
-            Some(pair)
-          } catch { case _: Exception => None }
-        }
+        val parsed = logEntryCache.get(p.getName)
+          .collect { case (len, mt, round, text)
+            if len == st.getLen && mt == st.getModificationTime => (round, text) }
+          .orElse {
+            try {
+              val text = readFileText(p).trim
+              val round = mapper.readTree(text).get("round").asInt()
+              logEntryCache.put(p.getName,
+                (st.getLen, st.getModificationTime, round, text))
+              Some((round, text))
+            } catch { case _: Exception => None }
+          }
         parsed.collect { case (round, text) if seenRounds.add(round) => text }
       }
     case _ =>
@@ -436,7 +454,13 @@ final class SnapshotStore(rootSpec: String,
         val name = f"r$round%09d.json"
         val entryPath = new Path(manifestLogDir, name)
         val payload = (entryJson + "\n").getBytes(StandardCharsets.UTF_8)
-        def won(): Unit = logEntryCache.put(name, (round, entryJson.trim))
+        // self-cache under the LISTING's validity key (len, mtime) — one
+        // getFileStatus per commit buys the committer's own future reads
+        def won(): Unit = {
+          val st = fs.getFileStatus(entryPath)
+          logEntryCache.put(name,
+            (st.getLen, st.getModificationTime, round, entryJson.trim))
+        }
         def parseable(s: String): Boolean =
           try { mapper.readTree(s); true } catch { case _: Exception => false }
         try {

@@ -374,6 +374,23 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("log mode: a wipe + fresh table at the same root must not be read " +
+      "through the dead table's entry cache (fixed names REPEAT)") {
+    val conf = confWith("graft.snapshot.commit.mode" -> "log")
+    val root = freshDir("wipecache")
+    val store = new SnapshotStore(root, conf)
+    val reader = new SnapshotStore(root, conf) // long-lived dashboard
+    store.commit(entry(store, 0, Seq(s"$root/old-table/round=0/seen")))
+    assert(reader.liveSeenPaths() == Seq(s"$root/old-table/round=0/seen")) // warm its cache
+    // new table at the same root: round 0's entry name is REUSED
+    store.wipe()
+    store.commit(entry(store, 0, Seq(s"$root/new-table/round=0/seen")))
+    assert(store.liveSeenPaths() == Seq(s"$root/new-table/round=0/seen"),
+      "the wiping instance served the dead table's cached entry")
+    assert(reader.liveSeenPaths() == Seq(s"$root/new-table/round=0/seen"),
+      "a reader in another 'process' served the dead table's cached entry")
+  }
+
   test("log mode: immutable committed entries are GET once per store, not " +
       "once per read (the O(rounds²) object-store bill)") {
     val conf = confWith(
