@@ -276,6 +276,11 @@ final class CrawlEngine(
     spark.read.schema(fetchLogSchema).parquet(paths: _*)
   }
 
+  /** Queryable snapshot history — one row per committed round with the
+    * per-partition lineage, metrics and file references (the Iceberg
+    * `.snapshots` metadata-table analogue; see [[SnapshotHistory]]). */
+  def history(): DataFrame = SnapshotHistory(spark, store)
+
   /** The authoritative (exact) seen set: the live (compacted base +
     * delta) files of the last committed round, minus any un-compacted
     * retire tombstones (round-aware mask — see [[retireHost]]). Both

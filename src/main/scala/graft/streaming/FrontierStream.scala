@@ -55,6 +55,44 @@ object FrontierStream {
       }
   }
 
+  final case class HostClock(ready_ts: Long)
+  final case class Scheduled(url_canon: String, url_hash: Long, host: String,
+    depth: Int, fetch_ts: Long)
+
+  /** Streaming per-host politeness (the W1/Q1 scheduler's streaming twin,
+    * SURVEY.md §2.10): assigns each URL a virtual fetch time ≥ its host's
+    * ready clock, advancing the clock by the host's crawl delay per URL —
+    * so for every host, consecutive fetch_ts gaps are exactly `delayOf
+    * (host)`, across micro-batch boundaries (the clock is per-host
+    * `flatMapGroupsWithState` state, one tiny entry per host — the same
+    * cardinality contract as the batch engine's host-ready Dataset, and
+    * recovered from the state store on restart like the dedup state).
+    *
+    * Within a micro-batch a host's URLs are ordered by the pinned
+    * (depth, url_hash) total order — the batch scheduler's tie-break
+    * chain with the stream's arrival nondeterminism removed. `delayOf`
+    * must be a small serializable function (e.g. closing over a
+    * broadcast robots delay map), not a driver-side lookup per row. */
+  def politenessStream(spark: SparkSession, entries: Dataset[Discovery],
+                       delayOf: String => Long): Dataset[Scheduled] = {
+    import spark.implicits._
+    entries
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostClock, Scheduled](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[Discovery], state: GroupState[HostClock]) =>
+          val delay = delayOf(host)
+          var ready = if (state.exists) state.get.ready_ts else 0L
+          val out = rows.toVector.sortBy(e => (e.depth, e.url_hash)).map { e =>
+            val ts = ready
+            ready = ts + delay
+            Scheduled(e.url_canon, e.url_hash, e.host, e.depth, ts)
+          }
+          state.update(HostClock(ready))
+          out.iterator
+      }
+  }
+
   /** Watermarked per-host discovery rate over 10-second windows —
     * the streaming metrics sink (S5). */
   def hostRates(discoveries: Dataset[Discovery]): DataFrame =

@@ -22,4 +22,15 @@ object Shim {
     * queries benched after it). `CacheManager` is `private[sql]`. */
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
+
+  /** Register a native SQL function on an already-built session — the
+    * post-hoc path of [[graft.GraftExtensions]] (`sessionState` and the
+    * FunctionRegistry are `private[sql]`; the build-time
+    * `spark.sql.extensions` path needs no internals). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(name, info, builder)
 }

@@ -31,6 +31,44 @@ class FrontierStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming politeness: exact per-host delay gaps, pinned in-batch " +
+      "order, clock carried across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Discovery]
+    val delays = Map("a.example" -> 100L, "b.example" -> 250L)
+    val sched = FrontierStream.politenessStream(spark, input.toDS(),
+      h => delays.getOrElse(h, 1000L))
+    val query = sched.writeStream
+      .format("memory").queryName("sched_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    def d(u: String, host: String, depth: Int): Discovery =
+      Discovery(u, UrlHash.hash64(u), host, depth, new java.sql.Timestamp(0))
+    try {
+      input.addData(d("https://a.example/1", "a.example", 0),
+        d("https://a.example/2", "a.example", 0),
+        d("https://b.example/1", "b.example", 1))
+      query.processAllAvailable()
+      input.addData(d("https://a.example/3", "a.example", 1),
+        d("https://b.example/2", "b.example", 0))
+      query.processAllAvailable()
+      val got = spark.table("sched_out").as[FrontierStream.Scheduled].collect()
+      assert(got.length == 5)
+      // per host: fetch_ts is exactly 0, delay, 2*delay, ... across batches
+      for ((host, delay) <- delays) {
+        val ts = got.filter(_.host == host).map(_.fetch_ts).sorted.toSeq
+        assert(ts == ts.indices.map(_ * delay), s"$host: $ts")
+      }
+      // cross-batch continuation: batch 2's a.example URL continues at 200
+      assert(got.find(_.url_canon == "https://a.example/3").get.fetch_ts == 200L)
+      // pinned within-batch order: equal depth breaks by url_hash
+      val batch1a = got.filter(e => e.host == "a.example" && e.fetch_ts < 200)
+        .sortBy(_.fetch_ts).map(_.url_hash).toSeq
+      assert(batch1a == Seq("https://a.example/1", "https://a.example/2")
+        .map(UrlHash.hash64).sorted)
+    } finally query.stop()
+  }
+
   test("watermarked per-host rate aggregation runs") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Discovery]

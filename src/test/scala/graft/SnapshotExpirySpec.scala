@@ -44,6 +44,47 @@ class SnapshotExpirySpec extends SparkTestBase {
     e
   }
 
+  test("history() is a queryable metadata table consistent with the manifest") {
+    val h = full.history()
+    val manifest = full.store.readManifest()
+    assert(h.count() == manifest.size)
+    assert(h.select("round").as[Int].collect().toSeq ==
+      full.store.committedRounds(), "one row per committed round, in order")
+    // per-partition lineage sums to the round's seen_delta row counter
+    // (crawl rounds only — a retire round's lineage is the NEGATIVE
+    // retired counts against a zero seen_delta; `full` has none, but the
+    // filter states the invariant correctly)
+    val perRound = h.where("metrics['retired'] IS NULL")
+      .selectExpr("round", "rows['seen_delta']",
+        "aggregate(seen_delta_partition_rows, 0L, (a, x) -> a + x)")
+      .as[(Int, Long, Long)].collect()
+    perRound.foreach { case (r, delta, linSum) =>
+      assert(delta == linSum, s"lineage sum != seen_delta at round $r")
+    }
+    // the running lineage sum over all rounds equals the live seen set
+    assert(perRound.map(_._3).sum == full.seen().count(),
+      "total lineage != live seen count")
+    // metrics are queryable and consistent: cumulative fetched_total of
+    // the last round == the full fetch log; per-round scheduled sums to it
+    h.createOrReplaceTempView("crawl_history")
+    val (lastFetched, schedSum) = spark.sql(
+      """SELECT max_by(metrics['fetched_total'], round),
+        |       sum(metrics['scheduled']) FROM crawl_history""".stripMargin)
+      .as[(Double, Double)].head()
+    val logCount = full.fetchLog().count()
+    assert(lastFetched.toLong == logCount, "fetched_total != fetch log rows")
+    assert(schedSum.toLong == logCount, "sum(scheduled) != fetch log rows")
+    // every round's fetchlog_path pointer resolves to exactly its rows
+    val withLog = h.where("fetchlog_path IS NOT NULL")
+      .select("fetchlog_path", "rows").collect()
+    withLog.foreach { r =>
+      val n = spark.read.parquet(r.getString(0)).count()
+      assert(n == r.getMap[String, Long](1).get("fetchlog").get,
+        s"fetchlog_path rows mismatch: ${r.getString(0)}")
+    }
+    assert(withLog.nonEmpty, "no round committed a fetch log pointer")
+  }
+
   test("expireRounds deletes superseded state, keeps every fetchlog, and " +
       "the expired snapshot still matches the oracle") {
     val root = snapDir("expire-full")

@@ -19,6 +19,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The library's SQL surface, via the public session-build hook —
+      // SqlSurfaceSpec asserts the functions resolve WITHOUT any
+      // register() call, which proves this injection path end-to-end.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
