@@ -45,6 +45,10 @@ object CrawlMain {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the library's SQL functions (graft_canonicalize, ...) for any
+    // spark.sql consumer of this session — e.g. ad-hoc queries over
+    // CrawlEngine.history() or the fetch log from the same deployment
+    GraftExtensions.register(spark)
 
     val fx = CorpusGen.ensureFor(spark, sfDir)
     def envInt(k: String, d: Int) = sys.env.get(k).map(_.toInt).getOrElse(d)

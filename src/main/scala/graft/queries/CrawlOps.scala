@@ -227,6 +227,26 @@ object CrawlOps {
         .orderBy("doc_id", "span_idx")
     }),
 
+    // SQL surface (GraftExtensions): the q02 computation re-expressed in
+    // pure spark.sql over the registered graft_* functions — puts the
+    // SQL registration path itself (FunctionRegistry builders, constant-
+    // arg handling, codegen through the SQL parser) under the DuckDB
+    // gate, not just the Column API the other queries exercise
+    "q39_sql_surface" -> ((s, dir) => {
+      // Verify/Bench sessions are built without spark.sql.extensions;
+      // register post-hoc (idempotent — the config path is pinned by
+      // SqlSurfaceSpec, whose shared session injects at build time)
+      graft.GraftExtensions.register(s)
+      CorpusGen.hosting(s, fx(s, dir)).createOrReplaceTempView("hosting_q39")
+      s.sql(
+        """SELECT c AS url_canon, graft_url_hash(c) AS url_hash,
+          |       graft_host_of(c) AS host, graft_path_of(c) AS path
+          |FROM (SELECT graft_canonicalize(
+          |               regexp_replace(url_canon, '^https', 'HTTPS')) AS c
+          |      FROM hosting_q39)
+          |ORDER BY url_canon""".stripMargin)
+    }),
+
     // A4/X5: hot-host detection + salt bucket assignment
     "q32_hot_hosts" -> ((s, dir) => {
       val counts = CorpusGen.hosting(s, fx(s, dir)).groupBy("host").count()
@@ -278,6 +298,17 @@ object CrawlOps {
          | FROM read_parquet('$FX/interleaved.parquet/*.parquet'))
          |WHERE kind <> 'text' AND media_ref <> ''
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q39_sql_surface" ->
+      // host/path mirrors: corpus url_canon carries no userinfo, port or
+      // query string (same contract the q04/q38 oracles rely on), so the
+      // scheme-strip regexes are exact; the '\?.*' strip mirrors
+      // path_of's pinned cut-at-first-'?' anyway
+      s"""SELECT url_canon, page_hash AS url_hash,
+         | regexp_extract(url_canon, '^[a-z]+://([^/]+)', 1) AS host,
+         | regexp_replace(regexp_replace(url_canon, '^[a-z]+://[^/]+', ''), '\\?.*', '') AS path
+         |FROM read_parquet('$FX/hosting.parquet/*.parquet')
+         |ORDER BY url_canon""".stripMargin,
 
     "q01_spans" ->
       s"""SELECT doc_id, span_idx, kind, media_ref, "offset", md5(text) AS text_md5 FROM (

@@ -24,9 +24,10 @@ object Shim {
     spark.sharedState.cacheManager.isEmpty
 
   /** Register a native SQL function on an already-built session — the
-    * post-hoc path of [[graft.GraftExtensions]] (`sessionState` and the
-    * FunctionRegistry are `private[sql]`; the build-time
-    * `spark.sql.extensions` path needs no internals). */
+    * post-hoc path of [[graft.GraftExtensions]]. Lives here with the
+    * other internal-surface touches: the FunctionRegistry is Spark
+    * session state, not public API (the build-time
+    * `spark.sql.extensions` path needs no internals at all). */
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: org.apache.spark.sql.catalyst.FunctionIdentifier,
