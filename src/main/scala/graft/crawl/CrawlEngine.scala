@@ -254,18 +254,12 @@ final class CrawlEngine(
   /** Full crawl order: the fetch log of all committed rounds, in global
     * (round, fetch_ts, host, url_hash) order == seq order. */
   def fetchLog(): DataFrame = {
-    // entry-pointer assembly (unique fetch-log paths since round 4): a
-    // pointer-carrying entry's log is ALWAYS durable (the sink is joined
-    // before commit), so no existence probe — at 10^4 rounds that was
-    // O(rounds) object-store HEADs per read. Pre-pointer entries fall
-    // back to the entry round's conventional dir, existence-filtered
-    // (entry 0 and retire rounds commit no log) — exactly the old scan
-    // set, since committed rounds == entries' rounds.
-    val paths = store.readManifest().flatMap { e =>
-      Option(e.getOrElse("fetchlog_path", null)).map(_.asInstanceOf[String])
-        .orElse(Some(store.fetchLogPath(e("round").asInstanceOf[Number].intValue()))
-          .filter(store.exists))
-    }
+    // ONE shared resolution rule (SnapshotStore.fetchLogsOf): pointers
+    // trusted without existence probes, pre-pointer conventional
+    // fallbacks probed, and a conventional dir superseded by a
+    // unique-path rerun excluded as pre-upgrade crash debris — the same
+    // set history() exposes and expireRounds protects.
+    val paths = store.fetchLogsOf(store.readManifest()).flatten
     // schema-carrying empty frame, not spark.emptyDataFrame: callers
     // (spansEmitted, oracle comparisons) select fetch-log columns and
     // must get zero rows, not UNRESOLVED_COLUMN (review finding)

@@ -48,7 +48,8 @@ object SnapshotHistory {
 
   def apply(spark: SparkSession, store: SnapshotStore): DataFrame = {
     val entries = store.readManifest()
-    val rows: Seq[Row] = entries.map { e =>
+    val fetchLogs = store.fetchLogsOf(entries)
+    val rows: Seq[Row] = entries.zip(fetchLogs).map { case (e, fetchLogP) =>
       val rowCounts = Option(e.getOrElse("rows", null))
         .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
           .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() })
@@ -61,16 +62,6 @@ object SnapshotHistory {
         .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
           .map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue() })
         .getOrElse(Map.empty[String, Double])
-      // pointer-carrying entries' logs are always durable (sink joined
-      // before commit) — no existence probe, same contract as
-      // CrawlEngine.fetchLog(); only pre-pointer conventional paths need
-      // the probe (entry 0 / retire rounds commit no log)
-      val fetchLogP = Option(e.getOrElse("fetchlog_path", null))
-        .map(_.asInstanceOf[String])
-        .getOrElse {
-          val conv = store.fetchLogPath(e("round").asInstanceOf[Number].intValue())
-          if (store.exists(conv)) conv else null
-        }
       Row(
         e("round").asInstanceOf[Number].intValue(),
         e("parent").asInstanceOf[Number].intValue(),
@@ -83,7 +74,7 @@ object SnapshotHistory {
         store.pathsOf(e, "tombstone_paths"),
         store.hostReadyPathOf(e),
         store.frontierPathOf(e),
-        fetchLogP
+        fetchLogP.orNull
       )
     }
     spark.createDataFrame(rows.asJava, schema)

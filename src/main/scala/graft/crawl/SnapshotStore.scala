@@ -147,6 +147,18 @@ final class SnapshotStore(rootSpec: String,
         s"graft.snapshot.commit.mode=$other (expected rename|log|auto)")
     }
 
+  /** Minimum age (ms, by the entry's store mtime) a TORN log-mode entry
+    * must reach before a competing committer reclaims its round's name —
+    * a liveness/politeness knob bounding how long a stalled committer
+    * keeps a round hostage, NOT the safety argument (single-winner safety
+    * comes from the delete + exclusive-create reclaim plus the universal
+    * read-back in [[commit]], which hold under arbitrary clock skew).
+    * Default 60 s: far above any sane create→close gap, so a merely
+    * GC-paused committer is never preempted in practice. */
+  lazy val takeoverMs: Long =
+    Option(hadoopConf.get("graft.snapshot.takeover.ms"))
+      .map(_.toLong).getOrElse(60000L)
+
   def manifestPath: Path = new Path(root, "manifest.jsonl")
   private def manifestTmpPath: Path = new Path(root, ".manifest.tmp")
   def manifestLogDir: Path = new Path(root, "manifest.d")
@@ -187,8 +199,11 @@ final class SnapshotStore(rootSpec: String,
   def wipe(): Unit = {
     deleteDir(root)
     // a fresh crawl at this root reuses the fixed per-round entry names —
-    // this instance must not serve the dead table's cached entries
+    // this instance must not serve the dead table's cached entries (other
+    // instances are protected by the `_table-` identity marker, which the
+    // wipe deleted and the fresh table's first commit replaces)
     logEntryCache.clear()
+    currentTableId = ""
   }
 
   def deleteDir(path: String): Unit = {
@@ -223,23 +238,40 @@ final class SnapshotStore(rootSpec: String,
 
   /** Immutable-entry cache for `log` mode: a PARSEABLE `manifest.d/`
     * object is never rewritten (exclusive-create CAS; the crashed-entry
-    * takeover in [[commit]] only ever overwrites a persistently-TORN
-    * occupant), so its text can be cached by NAME. Without this every
+    * reclaim in [[commit]] only ever replaces a persistently-TORN
+    * occupant, via delete + exclusive create), so its text can be cached
+    * by NAME. Without this every
     * manifest read re-GETs every entry — O(rounds) GETs per read,
     * O(rounds²) over a 1000-round crawl's lifetime of per-round reads
     * (and real money on an object store). Only successful parses are
     * cached: a torn in-flight entry must be re-read on the next call (it
     * may have completed).
     *
-    * Entries are validated against the listing's (length, mtime): a
-    * wipe + fresh crawl at the same root REUSES the fixed per-round
-    * names, and a name-only cache would serve the DEAD table's entries
-    * to any store instance that outlives the wipe (this instance after
-    * runFresh, or a long-lived dashboard reader in another process).
-    * The listStatus the reader already performs carries both fields —
-    * validation costs no extra I/O. Keyed (len, mtime, round, text). */
+    * Entries are validated against the TABLE IDENTITY plus the listing's
+    * (length, mtime): a wipe + fresh crawl at the same root REUSES the
+    * fixed per-round names, and a name-only cache would serve the DEAD
+    * table's entries to any store instance that outlives the wipe (this
+    * instance after runFresh, or a long-lived dashboard reader in
+    * another process). (len, mtime) alone is not enough (review
+    * finding): two fresh crawls' round-0 entries have identical byte
+    * length (fixed-width uuid suffixes), and object-store mtime is
+    * ~second granularity — a wipe + re-commit inside one tick would
+    * revalidate the dead entry. So each table writes a uniquely-NAMED
+    * `_table-<uuid>` marker into `manifest.d/` at its first commit; the
+    * marker rides the listStatus the reader already performs (zero extra
+    * I/O), wipe() deletes it with the table, and a cache entry recorded
+    * under a different table id never validates. Legacy tables without a
+    * marker read as id "" — still correct, and upgraded by their next
+    * commit. Keyed (tableId, len, mtime, round, text). */
   private val logEntryCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int, String)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Int, String)]
+
+  /** Canonical table id = smallest `_table-*` marker name in the current
+    * listing ("" for legacy tables; two racing first committers may
+    * create two markers — both resolve the same minimum). Maintained by
+    * [[manifestLines]] (every commit's precondition read refreshes it)
+    * and consumed by the committer's self-cache put. */
+  @volatile private var currentTableId: String = ""
 
   /** Committed manifest entries as raw JSON lines, in round order.
     * `log` mode lists `manifest.d/` (names sort by zero-padded round;
@@ -258,7 +290,11 @@ final class SnapshotStore(rootSpec: String,
             "to read it")
         return Seq.empty
       }
-      val files = fs.listStatus(manifestLogDir).toSeq
+      val listing = fs.listStatus(manifestLogDir).toSeq
+      val tableId = listing.map(_.getPath.getName)
+        .filter(_.startsWith("_table-")).sorted.headOption.getOrElse("")
+      currentTableId = tableId
+      val files = listing
         .filter(_.getPath.getName.endsWith(".json"))
         .sortBy(_.getPath.getName)
       val seenRounds = scala.collection.mutable.Set.empty[Int]
@@ -267,14 +303,15 @@ final class SnapshotStore(rootSpec: String,
         // torn/in-flight PUT (unparseable, or persistently checksum-torn
         // because the writer is mid-create): simply not committed yet
         val parsed = logEntryCache.get(p.getName)
-          .collect { case (len, mt, round, text)
-            if len == st.getLen && mt == st.getModificationTime => (round, text) }
+          .collect { case (tid, len, mt, round, text)
+            if tid == tableId && len == st.getLen &&
+              mt == st.getModificationTime => (round, text) }
           .orElse {
             try {
               val text = readFileText(p).trim
               val round = mapper.readTree(text).get("round").asInt()
               logEntryCache.put(p.getName,
-                (st.getLen, st.getModificationTime, round, text))
+                (tableId, st.getLen, st.getModificationTime, round, text))
               Some((round, text))
             } catch { case _: Exception => None }
           }
@@ -373,6 +410,12 @@ final class SnapshotStore(rootSpec: String,
     * (the FaultInjection pattern). A no-op in production. */
   private[graft] var beforeLogCreate: () => Unit = () => ()
 
+  /** Test-only injection point: runs between the log-mode exclusive
+    * create and the payload write — the stalled-committer window the
+    * reclaim protocol (delete + exclusive create + universal read-back)
+    * must fence. A no-op in production. */
+  private[graft] var afterLogCreate: () => Unit = () => ()
+
   /** Make a round visible, with optimistic concurrency (the Iceberg
     * `CommitFailedException` contract): two drivers resuming the same
     * store race their next round's commit, and exactly one may win —
@@ -399,13 +442,25 @@ final class SnapshotStore(rootSpec: String,
     *    leaves a permanently-torn entry squatting on the round's name —
     *    invisible to readers (unparseable = uncommitted) but blocking the
     *    CAS. A later committer that finds the occupant still torn after
-    *    riding out any live writer's window (bounded retries, same budget
-    *    as the rename-mode swap recovery) overwrites it and verifies by
-    *    read-back. On check-then-act connectors (S3A without conditional
+    *    `graft.snapshot.takeover.ms` (default 60 s, by the entry's store
+    *    mtime) RECLAIMS the name by delete + a second EXCLUSIVE create —
+    *    never an overwrite: the delete revokes a merely-stalled writer's
+    *    lease (HDFS) or unlinks the inode its open stream writes to
+    *    (local FS), so the stalled writer's late bytes can never surface
+    *    at the committed name; and EVERY win path verifies by
+    *    read-back-after-close, so a committer whose entry was reclaimed
+    *    mid-stall gets CommitConflictException instead of a false win.
+    *    (An earlier takeover design used create(overwrite=true) after a
+    *    fixed 300 ms retry budget — REJECTED by adversarial review: an
+    *    overwrite is never arbitrated, and a live committer stalled
+    *    >300 ms between create and close let BOTH committers conclude
+    *    they won.) On check-then-act connectors (S3A without conditional
     *    create) the read-back narrows the double-win window to the
     *    read-vs-late-write race; deployments there should front the store
     *    with a conditional-create-capable connector or a lock service —
-    *    the same caveat Iceberg documents for its Hadoop tables.
+    *    the same caveat Iceberg documents for its Hadoop tables. (On S3
+    *    proper, create and close are one atomic PUT — torn entries cannot
+    *    exist, so the reclaim path never runs.)
     *  - `rename` mode keeps the single-live-committer contract of
     *    Iceberg's own Hadoop tables (whose docs require an external lock
     *    manager for concurrent writers): the whole-manifest
@@ -426,7 +481,9 @@ final class SnapshotStore(rootSpec: String,
     * Idempotent retry: re-committing a byte-identical entry that already
     * won its round returns success (a driver that crashed between a
     * successful commit and recording it locally may retry; the store
-    * answers what actually happened). */
+    * answers what actually happened) — including when a competitor has
+    * since advanced the store past that round: the round's entry is
+    * looked up anywhere in the history, not only at the tail. */
   def commit(entryJson: String): Unit = {
     val round = mapper.readTree(entryJson).get("round").asInt()
     // CAS precondition (both modes): the manifest read is free in rename
@@ -435,21 +492,45 @@ final class SnapshotStore(rootSpec: String,
     // true when the store already holds THIS exact entry (idempotent
     // retry of our own win — succeed without writing).
     def alreadyCommitted(lines: Seq[String]): Boolean = {
-      lines.lastOption.map(l => (mapper.readTree(l).get("round").asInt(), l))
-        .filter(_._1 >= round)
-        .map { case (last, lastLine) =>
-          if (last == round && lastLine.trim == entryJson.trim) true
-          else throw new CommitConflictException(
-            s"commit of round $round lost to a concurrent committer: " +
-              s"$root is already at round $last (resumed twice? split-brain " +
-              "driver?) — this attempt wrote nothing")
-        }
-        .getOrElse(false)
+      val parsed = lines.map(l => (mapper.readTree(l).get("round").asInt(), l))
+      if (!parsed.lastOption.exists(_._1 >= round)) return false
+      // the store advanced to (or past) our round. Look our round's entry
+      // up ANYWHERE in the history, not just at the tail: a driver that
+      // crashed between a durably-successful commit of round R and
+      // recording it locally may retry AFTER a competitor resumed and
+      // committed R+1 — the honest answer is still "round R is yours,
+      // committed" (review finding: the tail-only check threw a conflict
+      // falsely claiming the attempt wrote nothing, inviting the caller
+      // to treat round R's referenced data files as sweepable orphans).
+      parsed.find(_._1 == round) match {
+        case Some((_, line)) if line.trim == entryJson.trim => true
+        case Some(_) => throw new CommitConflictException(
+          s"commit of round $round lost to a concurrent committer: round " +
+            s"$round is already committed with different content under " +
+            s"$root (store is at round ${parsed.last._1}) — this attempt " +
+            "wrote nothing")
+        case None => throw new CommitConflictException(
+          s"commit of round $round lost to a concurrent committer: " +
+            s"$root is already at round ${parsed.last._1} with no round-" +
+            s"$round entry (resumed twice? split-brain driver?) — this " +
+            "attempt wrote nothing")
+      }
     }
     commitMode match {
       case "log" =>
         if (alreadyCommitted(manifestLines())) return
         fs.mkdirs(manifestLogDir)
+        if (currentTableId.isEmpty) {
+          // first commit of this table (or a legacy table predating
+          // markers): stamp the table's identity. Uniquely NAMED, so it
+          // rides every reader's listing; two racing first committers
+          // both resolve the canonical id as the smallest marker name.
+          val marker = s"_table-${java.util.UUID.randomUUID().toString.take(8)}"
+          fs.create(new Path(manifestLogDir, marker), false).close()
+          currentTableId = fs.listStatus(manifestLogDir).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("_table-"))
+            .sorted.headOption.getOrElse(marker)
+        }
         beforeLogCreate()
         val name = f"r$round%09d.json"
         val entryPath = new Path(manifestLogDir, name)
@@ -459,20 +540,58 @@ final class SnapshotStore(rootSpec: String,
         def won(): Unit = {
           val st = fs.getFileStatus(entryPath)
           logEntryCache.put(name,
-            (st.getLen, st.getModificationTime, round, entryJson.trim))
+            (currentTableId, st.getLen, st.getModificationTime, round,
+              entryJson.trim))
         }
+        // an entry is committed iff it parses to a real JSON object — an
+        // EMPTY file (a writer stalled right after its create, before any
+        // byte of payload) parses to Jackson's MissingNode without
+        // throwing, and must adjudicate as torn, not as a foreign commit
         def parseable(s: String): Boolean =
-          try { mapper.readTree(s); true } catch { case _: Exception => false }
+          try {
+            val n = mapper.readTree(s)
+            n != null && !n.isMissingNode
+          } catch { case _: Exception => false }
+        // Read-back-after-close, on EVERY win path: if this committer
+        // stalled past the takeover gate between its create and its
+        // close (GC pause, S3 retry storm), a reclaiming competitor may
+        // have deleted the torn entry and exclusive-created its own —
+        // in which case OUR late bytes went to the unlinked inode (local
+        // FS) or our close already threw (HDFS: the delete revoked our
+        // lease), and the visible entry is theirs. Without this check
+        // the stalled committer concludes it won too (review finding:
+        // the old overwrite-based takeover let BOTH committers win).
+        def verifyWon(): Unit = {
+          val back = try readFileText(entryPath).trim catch { case _: Exception => "" }
+          if (back != entryJson.trim)
+            throw new CommitConflictException(
+              s"commit of round $round lost a stale-entry reclaim race on " +
+                s"$name under $root/manifest.d: this committer stalled past " +
+                "graft.snapshot.takeover.ms mid-commit and a competitor " +
+                "reclaimed the round — this attempt's entry is not visible")
+          won()
+        }
         try {
           val out = fs.create(entryPath, false) // the CAS: exclusive create
+          afterLogCreate()
           try out.write(payload) finally out.close()
-          won()
+          verifyWon()
         } catch {
-          case ioe: java.io.IOException if fs.exists(entryPath) =>
+          case _: java.io.IOException if fs.exists(entryPath) =>
             // the round's name is occupied: a completed competitor, a
             // live competitor mid-write, or a crashed committer's torn
-            // entry. Ride out a live writer's window, then adjudicate.
-            var attempt = 0
+            // entry. Adjudicate: a parseable occupant settles it; a torn
+            // occupant younger than the takeover gate gets waited out (a
+            // live writer closes in ms — the gate bounds how long a
+            // stalled one keeps the round); a torn occupant OLDER than
+            // the gate is a crashed commit's debris and is reclaimed by
+            // DELETE + EXCLUSIVE CREATE — never overwrite: the delete
+            // revokes a late writer's lease (HDFS) or unlinks the inode
+            // its stream writes to (local FS), so its bytes can never
+            // surface at the committed name, and its own verifyWon()
+            // sees our entry and throws. The gate (default 60 s) is a
+            // LIVENESS knob, not the safety argument — arbitration comes
+            // from the exclusive create + universal read-back.
             var done = false
             while (!done) {
               val existing =
@@ -486,23 +605,29 @@ final class SnapshotStore(rootSpec: String,
                     s"commit of round $round lost to a concurrent " +
                       s"committer: $name already committed under " +
                       s"$root/manifest.d — this attempt wrote nothing")
-                case None if attempt < 5 =>
-                  attempt += 1
-                  Thread.sleep(20L * attempt)
                 case None =>
-                  // persistently torn across the whole window: a LIVE
-                  // writer completes in ms, so this is a crashed commit's
-                  // debris squatting on the round — take the name over
-                  // and verify by read-back (exact where create is
-                  // arbitrated; see scaladoc for the connector caveat)
-                  val out = fs.create(entryPath, true)
-                  try out.write(payload) finally out.close()
-                  val back = try readFileText(entryPath) catch { case _: Exception => "" }
-                  if (back.trim != entryJson.trim)
-                    throw new CommitConflictException(
-                      s"commit of round $round lost a crashed-entry " +
-                        s"takeover race on $name under $root/manifest.d")
-                  done = true; won()
+                  val age =
+                    try Some(System.currentTimeMillis() -
+                      fs.getFileStatus(entryPath).getModificationTime)
+                    catch { case _: java.io.FileNotFoundException => None }
+                  age match {
+                    case Some(a) if a < takeoverMs =>
+                      Thread.sleep(50L) // young torn entry: ride out the writer
+                    case _ =>
+                      // stale torn debris (or vanished under a competing
+                      // reclaimer): reclaim the round's name
+                      try { fs.delete(entryPath, false); () }
+                      catch { case _: java.io.IOException => () }
+                      try {
+                        val out = fs.create(entryPath, false)
+                        try out.write(payload) finally out.close()
+                        verifyWon()
+                        done = true
+                      } catch {
+                        case _: java.io.IOException if fs.exists(entryPath) =>
+                          () // another reclaimer won the create — loop and adjudicate
+                      }
+                  }
               }
             }
           case ioe: java.io.IOException => throw ioe // real I/O failure
@@ -621,6 +746,41 @@ final class SnapshotStore(rootSpec: String,
       .map(_.asInstanceOf[String])
       .getOrElse(fetchLogPath(entry("round").asInstanceOf[Number].intValue()))
 
+  /** The fetch log each manifest entry committed, resolved off ONE
+    * manifest snapshot — THE resolution rule, shared by
+    * [[graft.crawl.CrawlEngine.fetchLog]], [[SnapshotHistory]] and
+    * [[expireRounds]] so they can never disagree about which logs exist
+    * (review finding: three inlined copies). Per entry:
+    *
+    *  - a `fetchlog_path` pointer is trusted without an existence probe
+    *    (the sink is joined before the commit, so a pointer's log is
+    *    always durable; probing cost O(rounds) object-store HEADs);
+    *  - a pre-pointer entry falls back to its round's conventional
+    *    `round=r/fetchlog` dir, existence-probed (entry 0 and retire
+    *    rounds commit no log) — UNLESS some entry's pointer references a
+    *    unique-path log under the SAME round dir: then the round was
+    *    re-run under the unique-path data plane after a pre-upgrade
+    *    crash, the conventional dir is the crashed attempt's
+    *    never-overwritten debris, and reading it would double-count the
+    *    round's fetches (review finding — the old engine self-healed by
+    *    mode("overwrite") on the shared conventional path; unique paths
+    *    deliberately don't). */
+  def fetchLogsOf(entries: Seq[Map[String, Any]]): Seq[Option[String]] = {
+    val pointerRoundDirs: Set[String] = entries.flatMap { e =>
+      Option(e.getOrElse("fetchlog_path", null)).map(_.asInstanceOf[String])
+        .map(p => new Path(p).getParent.toString)
+    }.toSet
+    entries.map { e =>
+      Option(e.getOrElse("fetchlog_path", null)).map(_.asInstanceOf[String])
+        .orElse {
+          val conv = fetchLogPath(e("round").asInstanceOf[Number].intValue())
+          Some(conv).filter(c =>
+            !pointerRoundDirs.contains(new Path(c).getParent.toString) &&
+              exists(c))
+        }
+    }
+  }
+
   /** Live seen-set parquet paths as of the last committed round. */
   def liveSeenPaths(): Seq[String] =
     readManifest().lastOption.map(pathsOf(_, "seen_paths")).getOrElse(Seq.empty)
@@ -717,8 +877,12 @@ final class SnapshotStore(rootSpec: String,
     val committed = manifest.map(roundOf).toSet
     val refs: Set[String] = kept.flatMap(referencedPaths).toSet
     // every committed round's fetch log (ANY round, not just kept ones —
-    // the crawl's output is never expired)
-    val logRefs: Set[String] = manifest.map(fetchLogPathOf).map(qualified).toSet
+    // the crawl's output is never expired). fetchLogsOf's debris rule
+    // applies: a conventional dir superseded by a unique-path rerun is
+    // NOT protected (it is a crashed pre-upgrade attempt's debris,
+    // sweepable under removeOrphans like any other lost attempt's log).
+    val logRefs: Set[String] =
+      fetchLogsOf(manifest).flatten.map(qualified).toSet
     var deleted = 0L
     def drop(p: Path): Unit = { fs.delete(p, true); deleted += 1 }
     val rootPath = new Path(root)

@@ -90,13 +90,16 @@ class CrawlEngineSpec extends SparkTestBase {
   test("torn partial round writes are invisible: resume equals the uninterrupted crawl") {
     // The snapshot invariant ("partially-written rounds are invisible",
     // SURVEY §8a.3/§8b.6): a crash can happen AFTER any subset of round
-    // k+1's data files are written but BEFORE the atomic manifest
-    // rename. Simulate the worst torn state at two stop points —
-    // garbage parquet in every round-(k+1) sink path, a stray shard
-    // blob, an orphan un-committed seen_base dir — and assert a fresh
-    // engine resumes to the exact uninterrupted crawl (overwrite-mode
-    // sinks replace torn dirs; the manifest lists only real shard
-    // files; the orphan base is never referenced).
+    // k+1's data files are written but BEFORE the manifest commit.
+    // Simulate the worst torn state at two stop points — garbage parquet
+    // at the UNIQUE-path names a crashed attempt actually writes (one
+    // torn dir per sink kind, in the next round's dir AND a lost
+    // attempt's sibling in the last COMMITTED round's dir), a stray
+    // shard blob in the shared blooms dir, an orphan un-committed
+    // seen_base, plus the legacy conventional names (pre-pointer
+    // fallback paths) — and assert a fresh engine resumes to the exact
+    // uninterrupted crawl: resume reads ONLY manifest-referenced paths,
+    // so none of the debris is ever opened.
     import java.nio.file.{Files, Paths}
     def splat(path: String, name: String): Unit = {
       val d = Paths.get(path)
@@ -107,7 +110,16 @@ class CrawlEngineSpec extends SparkTestBase {
       val dir = snapDir(s"torn-$k")
       val e1 = new CrawlEngine(spark, fixtureDir, dir, cfg)
       e1.runFresh(maxRounds = k)
-      val next = e1.store.lastCommitted().get + 1
+      val last = e1.store.lastCommitted().get
+      val next = last + 1
+      // a crashed attempt's torn unique-path dirs (the real data plane)
+      for (kind <- Seq("frontier", "fetchlog", "seen_delta", "hostready"))
+        splat(s"${e1.store.roundDir(next)}/$kind-deadbeef",
+          "part-00000.snappy.parquet")
+      // a split-brain loser's torn sibling inside a COMMITTED round's dir
+      splat(s"${e1.store.roundDir(last)}/fetchlog-deadbeef",
+        "part-00000.snappy.parquet")
+      // legacy conventional names (pre-pointer manifests' fallback paths)
       splat(e1.store.frontierPath(next), "part-00000.snappy.parquet")
       splat(e1.store.fetchLogPath(next), "part-00000.snappy.parquet")
       splat(e1.store.seenDeltaPath(next), "part-00000.snappy.parquet")

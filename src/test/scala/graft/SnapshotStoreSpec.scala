@@ -311,8 +311,11 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // crashed-committer case: torn bytes at the fixed name, no one coming
     // back — the next committer must recover the round, not wedge forever
     val root = freshDir("tornsquat")
+    // small takeover gate: the planted torn entry is fresh, and the test
+    // must not wait out the production default (60 s) before reclaiming
     val store = new SnapshotStore(root,
-      confWith("graft.snapshot.commit.mode" -> "log"))
+      confWith("graft.snapshot.commit.mode" -> "log",
+        "graft.snapshot.takeover.ms" -> "150"))
     store.commit(entry(store, 0, Seq.empty))
     val dir = new java.io.File(root, "manifest.d")
     store.beforeLogCreate = () => {
@@ -354,6 +357,120 @@ class SnapshotStoreSpec extends AnyFunSuite {
     } finally store2.beforeLogCreate = () => ()
     assert(new SnapshotStore(root2, confWith("graft.snapshot.commit.mode" -> "log"))
       .liveSeenPaths() == Seq(s"$root2/round=1/competitor"))
+  }
+
+  test("log mode: a committer stalled past the takeover gate mid-commit is " +
+      "reclaimed — the reclaimer wins ALONE and the stalled one gets a " +
+      "conflict from its read-back, never a false win") {
+    val root = freshDir("stalledreclaim")
+    val conf = confWith("graft.snapshot.commit.mode" -> "log",
+      "graft.snapshot.takeover.ms" -> "150")
+    val stalled = new SnapshotStore(root, conf)
+    val reclaimer = new SnapshotStore(root, conf)
+    stalled.commit(entry(stalled, 0, Seq.empty))
+    val created = new java.util.concurrent.CountDownLatch(1)
+    stalled.afterLogCreate = () => {
+      created.countDown()
+      Thread.sleep(700) // a GC-pause-class stall between create and write
+    }
+    val outcome = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try stalled.commit(entry(stalled, 1, Seq(s"$root/round=1/stalled")))
+      catch { case e: Throwable => outcome.set(e) }
+    })
+    try {
+      t.start()
+      created.await()
+      Thread.sleep(250) // age the torn entry past the 150 ms gate
+      // the reclaimer finds stale torn debris and takes the round over
+      // (delete + exclusive create — the old overwrite-based takeover
+      // let the stalled writer's late bytes land at the committed name
+      // and BOTH committers conclude they won)
+      reclaimer.commit(entry(reclaimer, 1, Seq(s"$root/round=1/reclaimed")))
+      t.join()
+    } finally stalled.afterLogCreate = () => ()
+    assert(outcome.get() != null &&
+      outcome.get().isInstanceOf[CommitConflictException],
+      s"stalled committer must lose via read-back, got ${outcome.get()}")
+    assert(new SnapshotStore(root, conf).liveSeenPaths() ==
+      Seq(s"$root/round=1/reclaimed"),
+      "readers must resolve the reclaimer's entry")
+  }
+
+  test("idempotent retry of a round the store has advanced PAST succeeds " +
+      "byte-identically and conflicts otherwise (both modes)") {
+    for (mode <- Seq("rename", "log")) {
+      val root = freshDir(s"idempast-$mode")
+      val store = new SnapshotStore(root,
+        confWith("graft.snapshot.commit.mode" -> mode))
+      val e1 = entry(store, 1, Seq(s"$root/round=1/seen"))
+      store.commit(entry(store, 0, Seq.empty))
+      store.commit(e1)
+      store.commit(entry(store, 2, Seq(s"$root/round=2/seen")))
+      // a driver that crashed between durably committing round 1 and
+      // recording it locally retries AFTER a competitor advanced the
+      // store to round 2: the honest answer is "committed", not a
+      // conflict claiming the attempt wrote nothing (whose caller might
+      // sweep round 1's referenced files as orphans)
+      store.commit(e1)
+      assert(store.committedRounds() == Seq(0, 1, 2), s"$mode: history damaged")
+      // a DIFFERENT round-1 payload is still a genuine conflict
+      intercept[CommitConflictException] {
+        store.commit(entry(store, 1, Seq(s"$root/round=1/other")))
+      }
+    }
+  }
+
+  test("log mode: a wipe + fresh table whose round-0 entry collides on " +
+      "(length, mtime) still invalidates other instances' caches — the " +
+      "table marker, not the timestamp, carries the identity") {
+    val conf = confWith("graft.snapshot.commit.mode" -> "log")
+    val root = freshDir("wipemarker")
+    val store = new SnapshotStore(root, conf)
+    val reader = new SnapshotStore(root, conf) // long-lived dashboard
+    store.commit(entry(store, 0, Seq(s"$root/old-table/round=0/seenX")))
+    assert(reader.liveSeenPaths() == Seq(s"$root/old-table/round=0/seenX"))
+    val entryPath = new Path(s"$root/manifest.d/r000000000.json")
+    val oldStatus = store.fs.getFileStatus(entryPath)
+    store.wipe()
+    store.commit(entry(store, 0, Seq(s"$root/new-table/round=0/seenY")))
+    // force the collision the (len, mtime) key cannot distinguish:
+    // object-store mtime is ~second granularity, and same-shape round-0
+    // entries have identical byte length — pin the fresh entry's mtime
+    // to the dead one's
+    store.fs.setTimes(entryPath, oldStatus.getModificationTime, -1)
+    assert(store.fs.getFileStatus(entryPath).getLen == oldStatus.getLen,
+      "test setup: entry lengths must collide for the scenario to bite")
+    assert(reader.liveSeenPaths() == Seq(s"$root/new-table/round=0/seenY"),
+      "reader served the dead table's cached entry despite the marker")
+  }
+
+  test("fetch-log resolution: a conventional dir superseded by a unique-path " +
+      "rerun is excluded as pre-upgrade crash debris; a proper old-format " +
+      "log still resolves") {
+    val root = freshDir("logdebris")
+    val store = new SnapshotStore(root,
+      confWith("graft.snapshot.commit.mode" -> "log"))
+    val fs = store.fs
+    def e(r: Int, logP: Option[String]) = store.entryJson(
+      r, r - 1, Map("fetchlog" -> 3L), Seq(1L), Map.empty, Seq.empty,
+      fetchLogPath = logP)
+    // old-format history: entries 0..1 pre-pointer. Round 0's
+    // conventional log was committed properly (old engine), round 1's was
+    // written by an attempt that crashed BEFORE committing entry 2
+    store.commit(e(0, None))
+    store.commit(e(1, None))
+    fs.mkdirs(new Path(store.fetchLogPath(0))) // proper old-format log
+    fs.mkdirs(new Path(store.fetchLogPath(1))) // crashed attempt's debris
+    // the upgraded engine re-ran round 1 under the unique data plane
+    // (which no longer overwrites the conventional dir) and committed
+    // entry 2 pointing at the unique-path log under the SAME round dir
+    val uniqueLog = store.uniquePath(1, "fetchlog")
+    fs.mkdirs(new Path(uniqueLog))
+    store.commit(e(2, Some(uniqueLog)))
+    val resolved = store.fetchLogsOf(store.readManifest()).flatten
+    assert(resolved == Seq(store.fetchLogPath(0), uniqueLog),
+      s"round 1's debris must be excluded, round 0's real log kept: $resolved")
   }
 
   test("idempotent retry: re-committing the byte-identical winning entry " +
