@@ -298,8 +298,7 @@ object ClusterCheck {
       val wallSec = (System.nanoTime() - t0) / 1e9
       val manifest = engine.store.readManifest()
       def m(e: Map[String, Any], k: String): Double = engine.store.metricOf(e, k)
-      val fetched = manifest.lastOption.map(m(_, "fetched_total")).getOrElse(0.0)
-      val candidates = manifest.map(m(_, "candidates")).sum
+      val (fetched, candidates) = engine.store.crawlTotals(manifest)
       val bulk = manifest.filter(e => m(e, "scheduled") >= fetched * 0.02)
       val bulkWork = bulk.map(e => m(e, "scheduled") + m(e, "candidates")).sum
       val bulkSec = bulk.map(m(_, "round_sec")).sum

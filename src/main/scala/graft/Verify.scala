@@ -8,6 +8,14 @@ object Verify {
     require(args.length == 2,
       s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args: ${args.mkString(" ")})")
     val Array(sfDir, outDir) = args
+    // Verify is only meaningful at the Correctness tier: every oracle
+    // path (CrawlOps.FX/GOLD, VectorOps.GOLD) pins the sf0.01 fixture
+    // and golden dirs, so running another tier would compare that
+    // tier's engine output against sf0.01 oracles — fail loud instead
+    require(graft.corpus.CorpusGen.tierFor(sfDir) == graft.corpus.CorpusGen.Correctness,
+      s"graft.Verify runs at the Correctness tier only (sf0.01 — the " +
+        s"driver's gate); got $sfDir. The oracle SQL and golden fixtures " +
+        "are pinned to that tier's paths.")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -30,6 +38,7 @@ object Verify {
       System.err.println(s"[verify] golden-oracle generation failed " +
         s"(golden-backed queries will be red, not stale): ${e.getMessage}")
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -38,7 +47,17 @@ object Verify {
         // the caller — see QueriesSpec's leak contract); release it
         df.unpersist(false)
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failed += name
+        // a reused outDir (the documented /tmp/verify_out) would still
+        // hold the PREVIOUS run's parquet for this query — which the
+        // gate would compare green against the oracle. Delete it so a
+        // crashed query is visibly missing/red, never silently stale
+        // (the same staleness class writeAll's wipe guards the goldens
+        // against; review finding).
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val lfs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (lfs.exists(stale)) lfs.delete(stale, true)
       }
       // queries must not leak cached data into each other (see Bench)
       if (!org.apache.spark.sql.graftinternal.Shim.cacheIsEmpty(spark))
@@ -60,5 +79,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      // all artifacts are written (the gate can still judge the healthy
+      // queries), but the run itself must not read as success
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

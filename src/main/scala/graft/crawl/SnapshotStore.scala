@@ -702,6 +702,16 @@ final class SnapshotStore(rootSpec: String,
     entry("metrics").asInstanceOf[java.util.Map[String, Any]]
       .getOrDefault(key, 0.0.asInstanceOf[AnyRef]).asInstanceOf[Number].doubleValue()
 
+  /** Headline crawl totals off ONE manifest snapshot:
+    * (fetched, dedup candidates). Knows which metrics are cumulative
+    * (`fetched_total` — last entry) vs per-round (`candidates` —
+    * summed); the one derivation Bench, BenchCrawl and ClusterCheck
+    * share, so a change to a metric's cumulativity cannot silently skew
+    * one harness's headline (they used to carry verbatim copies). */
+  def crawlTotals(manifest: Seq[Map[String, Any]]): (Double, Double) =
+    (manifest.lastOption.map(metricOf(_, "fetched_total")).getOrElse(0.0),
+      manifest.map(metricOf(_, "candidates")).sum)
+
   /** String-list field of a manifest entry, empty when absent (tolerates
     * pre-round-2 manifests missing the field so the engine's own
     * require() diagnostics stay reachable instead of a bare

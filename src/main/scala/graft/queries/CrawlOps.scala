@@ -341,15 +341,20 @@ object CrawlOps {
          |ORDER BY url_canon""".stripMargin,
 
     "q05_politeness" ->
+      // LEFT JOIN + COALESCE(0) mirrors Scheduler.salted's missing-host
+      // default EXACTLY (an inner join would silently drop any hosting
+      // host without robots rows; today the corpus emits rules for every
+      // host, but the oracle must not depend on that corpus shape)
       s"""WITH delays AS (
          |  SELECT host, MAX(crawl_delay_ms) AS delay_ms
          |  FROM read_parquet('$FX/robots.parquet/*.parquet') GROUP BY host)
-         |SELECT url_canon, h.host AS host, rn, CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_ts
+         |SELECT url_canon, h.host AS host, rn,
+         |  CAST((rn - 1) * COALESCE(delay_ms, 0) AS BIGINT) AS fetch_ts
          |FROM (
          |  SELECT url_canon, host,
          |    CAST(row_number() OVER (PARTITION BY host ORDER BY page_hash) AS INT) AS rn
          |  FROM read_parquet('$FX/hosting.parquet/*.parquet')) h
-         |JOIN delays d ON d.host = h.host
+         |LEFT JOIN delays d ON d.host = h.host
          |WHERE rn <= 50
          |ORDER BY host, rn""".stripMargin,
 

@@ -31,6 +31,13 @@ def canon(df):
     return df
 
 fails = []
+# a query that crashed in Verify writes no output dir (and Verify deletes
+# any stale one) — that must read as a failure here, not be silently
+# skipped by the listdir loop below
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(outdir, name)):
+        print(f"{name}: MISSING-OUTPUT (query crashed in Verify?)")
+        fails.append(name)
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
