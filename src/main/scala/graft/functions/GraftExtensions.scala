@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalizeUrl, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, PathOf, RhpSig, SimHash32}
+import graft.functions.{CanonicalizeUrl, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, NgramHashes, PathOf, RhpSig, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Pmod, XxHash64}
@@ -137,6 +137,13 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_simhash32"),
       info("graft_simhash32", "graft_simhash32(words) - 32-bit SimHash over a word multiset in one codegen pass."),
-      args => { arity("graft_simhash32", args, 1); SimHash32(args.head) })
+      args => { arity("graft_simhash32", args, 1); SimHash32(args.head) }),
+    (FunctionIdentifier("graft_ngram_hashes"),
+      info("graft_ngram_hashes",
+        "graft_ngram_hashes(words, n) - per-window n-gram hashes (one per n-word window, document order) for substring-level duplicate detection; n is a constant INT."),
+      args => {
+        arity("graft_ngram_hashes", args, 2)
+        NgramHashes(args.head, constInt("graft_ngram_hashes", "n", args(1)))
+      })
   )
 }

@@ -104,6 +104,39 @@ object TextRT {
     }
     new GenericArrayData(sigs.map(x => x: Any))
   }
+
+  /** Per-window n-gram hashes for substring-level duplicate detection
+    * (q40): for each window of n consecutive words, the 56-bit
+    * big-endian value of md5 digest bytes 0..6 (= hex chars 1-14) over
+    * the UTF-8 window string "w1 w2 ... wn" — exactly the `a` value
+    * [[minhashSigs]] folds, so the DuckDB mirror is
+    * `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)` over the same
+    * space-joined window. One md5 per window, no window string ever
+    * built. Fewer than n words → EMPTY array (a doc too short to hold
+    * one full window has no windows; no all-words fallback — mirrored
+    * by the oracle's ELSE []). 56 bits keep every value non-negative
+    * and inside DuckDB's BIGINT hex-cast range. */
+  def ngramHashes(words: ArrayData, n: Int): ArrayData = {
+    val cnt = words.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val wb = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = md5.get()
+    val out = new Array[Any](cnt - n + 1)
+    var s = 0
+    while (s <= cnt - n) {
+      md.reset()
+      var w = 0
+      while (w < n) { if (w > 0) md.update(SP); md.update(wb(s + w)); w += 1 }
+      val digest = md.digest()
+      var a = 0L; var t = 0
+      while (t < 7) { a = (a << 8) | (digest(t) & 0xFFL); t += 1 }
+      out(s) = a
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `simhash32(words)` over an `array<string>` word column → LongType. */
@@ -129,5 +162,20 @@ case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, w => s"graft.functions.TextRT.minhashSigs($w, $k)")
   override protected def withNewChildInternal(c: Expression): MinhashSigs =
+    copy(child = c)
+}
+
+/** `ngram_hashes(words, n)` over an `array<string>` word column →
+  * `array<long>` of per-window hashes, one per n-word window in
+  * document order (see [[TextRT.ngramHashes]]). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+  override protected def nullSafeEval(ws: Any): Any =
+    TextRT.ngramHashes(ws.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.TextRT.ngramHashes($w, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
     copy(child = c)
 }

@@ -78,4 +78,9 @@ package object functions {
   /** 32-bit SimHash over a word multiset in one codegen pass. */
   def simhash32(words: Column): Column =
     Shim.col(SimHash32(Shim.expr(words)))
+
+  /** Per-window n-gram hashes (one per n-word window, document order)
+    * for substring-level duplicate detection — see [[TextExpressions]]. */
+  def ngram_hashes(words: Column, n: Int): Column =
+    Shim.col(NgramHashes(Shim.expr(words), n))
 }

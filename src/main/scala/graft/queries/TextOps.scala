@@ -259,6 +259,45 @@ object TextOps {
         .orderBy("doc_a")
     }),
 
+    // substring-level duplicate detection — the span-level dedup
+    // modality (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better": duplicated substrings, not just
+    // duplicated documents). A 5-word window whose hash occurs in >= 2
+    // DISTINCT documents is a duplicated span position; per document we
+    // report total window count, duplicated-window count, the longest
+    // contiguous duplicated run (adjacent duplicated windows merge into
+    // one span — the run length is the suffix-array analogue at window
+    // granularity) and the duplication ratio. Shape at corpus scale:
+    // ONE codegen pass per doc for the window hashes (TextRT.ngramHashes
+    // — no window string is ever built), posexplode → inverted index
+    // (groupBy on the 56-bit key, map-side partial countDistinct),
+    // semi-join back on the same key, then a per-doc window function for
+    // run-lengths. Nothing is all-pairs; the heavy shuffle keys are
+    // near-uniform hashes.
+    "q40_dup_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 5
+      val winged = docsAugmented(s, dir).select(col("doc_id"),
+        graft.functions.ngram_hashes(words(col("text")), W).as("hs"))
+      val ex = winged.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      val dupKeys = ex.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("h")
+      val dup = ex.join(dupKeys, Seq("h"), "left_semi")
+      val runs = dup
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      val perDoc = runs.groupBy("doc_id")
+        .agg(sum("run").as("n_dup"), max("run").as("max_dup_run"))
+      winged.select(col("doc_id"), size(col("hs")).as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup", "max_dup_run"))
+        .withColumn("dup_ratio", when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_windows")))
+        .select("doc_id", "n_windows", "n_dup", "max_dup_run", "dup_ratio")
+        .orderBy("doc_id")
+    }),
+
     // document fingerprint: md5 over the sorted distinct word set
     "q31_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -362,5 +401,32 @@ object TextOps {
       """SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent reconstruction of the window-hash pipeline: windows as
+    // the same md5-prefix 56-bit value over the space-joined 5-word
+    // window (the minhash `a` formula both engines already share), zipped
+    // unnest for positions, inverted index + run-length via window fn
+    "q40_dup_ngrams" ->
+      s"""WITH d AS ($docsAugmentedSql),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM d),
+         |wins AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+         |    i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 14) AS BIGINT))
+         |  ELSE [] END AS hs FROM w),
+         |ex AS (SELECT doc_id, unnest(range(0, len(hs))) AS pos, unnest(hs) AS h FROM wins),
+         |dupkeys AS (SELECT h FROM ex GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT e.doc_id, e.pos FROM ex e JOIN dupkeys k ON e.h = k.h),
+         |rl AS (SELECT doc_id, grp, COUNT(*) AS run FROM (
+         |  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup) GROUP BY doc_id, grp),
+         |perdoc AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
+         |  CAST(MAX(run) AS BIGINT) AS max_dup_run FROM rl GROUP BY doc_id)
+         |SELECT w2.doc_id, CAST(len(w2.hs) AS INT) AS n_windows,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  COALESCE(p.max_dup_run, 0) AS max_dup_run,
+         |  CASE WHEN len(w2.hs) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / len(w2.hs) END AS dup_ratio
+         |FROM wins w2 LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -80,4 +80,32 @@ class MinhashSigsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gen == exploded)
   }
+
+  test("codegen ngram_hashes equals the HOF window form; short docs empty") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "x1", "42",
+      "lorem", "ipsum", "dolor", "sit")
+    val texts = (0 until 250).map { _ =>
+      val n = rnd.nextInt(25) // includes < W word counts → empty arrays
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "a b c d e" :+ ("alpha beta " * 40).trim
+    for (w <- Seq(3, 5)) {
+      val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+      val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      // independent HOF reconstruction: slice + concat_ws window strings,
+      // md5 hex chars 1-14 as a base-16 long — the q40 oracle's formula
+      val hof = df.select(col("id"),
+        when(size(ws) >= w,
+          transform(sequence(lit(1), size(ws) - (w - 1)), i =>
+            conv(substring(md5(concat_ws(" ", slice(ws, i, lit(w)))), 1, 14), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val gen = df.select(col("id"), graft.functions.ngram_hashes(ws, w).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(gen.keySet == hof.keySet)
+      for ((id, hs) <- hof)
+        assert(gen(id) == hs, s"ngram hash mismatch (w=$w) for '${texts(id.toInt)}'")
+    }
+  }
 }

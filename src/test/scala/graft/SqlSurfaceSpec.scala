@@ -80,6 +80,8 @@ class SqlSurfaceSpec extends SparkTestBase {
       _.select(minhash_sigs(col("words"), 8).as("r")))
     sqlEqualsDsl("simhash32", "graft_simhash32(words)",
       _.select(simhash32(col("words")).as("r")))
+    sqlEqualsDsl("ngram_hashes", "graft_ngram_hashes(words, 5)",
+      _.select(ngram_hashes(col("words"), 5).as("r")))
   }
 
   /** All messages down the cause chain (Spark may wrap a builder's
