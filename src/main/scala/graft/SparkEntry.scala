@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CrawlOps, Relational, TextOps, VectorOps}
+import graft.queries.{CrawlOps, GraphOps, Relational, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -16,8 +16,10 @@ object SparkEntry {
     CrawlOps.queries("q09_crawl")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CrawlOps.queries ++ Relational.queries ++ TextOps.queries ++ VectorOps.queries
+    CrawlOps.queries ++ Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
+      GraphOps.queries
 
   def oracleSql: Map[String, String] =
-    CrawlOps.oracle ++ Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle
+    CrawlOps.oracle ++ Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+      GraphOps.oracle
 }
