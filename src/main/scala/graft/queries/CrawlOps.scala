@@ -247,6 +247,37 @@ object CrawlOps {
           |ORDER BY url_canon""".stripMargin)
     }),
 
+    // W1-audit: politeness COMPLIANCE check over the full schedule — the
+    // validation twin of q05 (which samples the schedule itself): per
+    // host, the minimum gap between consecutive virtual fetch times must
+    // be >= the host's crawl delay, plus the per-host makespan the
+    // operator team would alert on. Window lag within host partitions +
+    // one aggregation; the delays side stays broadcast-sized (O(hosts)).
+    "q43_politeness_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = fx(s, dir)
+      val delays = CorpusGen.robots(s, d).groupBy("host")
+        .agg(max("crawl_delay_ms").as("delay_ms"))
+        .withColumn("ready_ts", lit(0L))
+      val frontier = CorpusGen.hosting(s, d)
+        .select(col("url_canon"), col("page_hash").as("url_hash"), col("host"),
+          lit(0).as("depth"))
+      val sched = Scheduler.salted(frontier, delays, 0L)
+      sched
+        .withColumn("gap", col("fetch_ts") -
+          lag("fetch_ts", 1).over(Window.partitionBy("host").orderBy("rn")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_scheduled"), min("gap").as("min_gap_ms"),
+          max("fetch_ts").as("makespan_ms"))
+        .join(broadcast(delays.select(col("host"), col("delay_ms"))), Seq("host"), "left")
+        .withColumn("delay_ms", coalesce(col("delay_ms"), lit(0L)))
+        .withColumn("compliant",
+          coalesce(col("min_gap_ms") >= col("delay_ms"), lit(true)))
+        .select("host", "n_scheduled", "delay_ms", "min_gap_ms", "makespan_ms",
+          "compliant")
+        .orderBy("host")
+    }),
+
     // A4/X5: hot-host detection + salt bucket assignment
     "q32_hot_hosts" -> ((s, dir) => {
       val counts = CorpusGen.hosting(s, fx(s, dir)).groupBy("host").count()
@@ -357,6 +388,35 @@ object CrawlOps {
          |LEFT JOIN delays d ON d.host = h.host
          |WHERE rn <= 50
          |ORDER BY host, rn""".stripMargin,
+
+    // the schedule reconstruction is q05's (same rank + virtual-clock
+    // formula); the audit itself — lag gaps, min/makespan, compliance —
+    // is computed independently by DuckDB over it
+    "q43_politeness_audit" ->
+      s"""WITH delays AS (
+         |  SELECT host, MAX(crawl_delay_ms) AS delay_ms
+         |  FROM read_parquet('$FX/robots.parquet/*.parquet') GROUP BY host),
+         |sched AS (
+         |  SELECT h.host AS host, rn,
+         |    CAST((rn - 1) * COALESCE(delay_ms, 0) AS BIGINT) AS fetch_ts
+         |  FROM (
+         |    SELECT host,
+         |      CAST(row_number() OVER (PARTITION BY host ORDER BY page_hash) AS INT) AS rn
+         |    FROM read_parquet('$FX/hosting.parquet/*.parquet')) h
+         |  LEFT JOIN delays d ON d.host = h.host),
+         |g AS (SELECT host, fetch_ts,
+         |    fetch_ts - LAG(fetch_ts) OVER (PARTITION BY host ORDER BY rn) AS gap
+         |  FROM sched),
+         |agg AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_scheduled,
+         |    CAST(MIN(gap) AS BIGINT) AS min_gap_ms,
+         |    CAST(MAX(fetch_ts) AS BIGINT) AS makespan_ms
+         |  FROM g GROUP BY host)
+         |SELECT a.host, n_scheduled,
+         |  CAST(COALESCE(d.delay_ms, 0) AS BIGINT) AS delay_ms,
+         |  min_gap_ms, makespan_ms,
+         |  COALESCE(min_gap_ms >= COALESCE(d.delay_ms, 0), TRUE) AS compliant
+         |FROM agg a LEFT JOIN delays d ON d.host = a.host
+         |ORDER BY a.host""".stripMargin,
 
     "q06_global_order" ->
       s"""SELECT url_canon,
