@@ -299,6 +299,44 @@ object CorpusGen {
     seedUrls(tier).toDF("url_canon").coalesce(1).write.mode(pq).parquet(s"$dir/seeds.parquet")
   }
 
+  // ---- sitemaps (additive fixture, own marker — does not touch the
+  //      GenVersion'd base tables or any crawl golden) -------------------
+
+  private val SitemapVersion = "v1"
+
+  /** Deterministic per-host sitemap XML: each host lists its first 50
+    * URLs (ascending url_canon), except every 10th loc is rewritten to a
+    * /missing path — a sitemap entry the corpus does NOT host, so the
+    * coverage audit (q44) has both classes. Derived FROM hosting.parquet
+    * with sort_array for determinism; guarded by its own marker so
+    * existing fixtures (and the crawl goldens derived from them) are
+    * untouched. */
+  def ensureSitemaps(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val marker = Paths.get(dir, "_SITEMAPS_DONE")
+    def fresh = Files.exists(marker) && Files.readString(marker) == SitemapVersion
+    if (fresh) return dir
+    synchronized {
+      if (fresh) return dir
+      hosting(spark, dir)
+        .groupBy("host")
+        .agg(slice(sort_array(collect_list(col("url_canon"))), 1, 50).as("locs"))
+        .select(col("host"), concat(
+          lit("""<?xml version="1.0"?><urlset>"""),
+          array_join(transform(col("locs"), (u, i) =>
+            concat(lit("<url><loc>"),
+              when(i % 10 === 9, regexp_replace(u, "/p", "/missing")).otherwise(u),
+              lit("</loc></url>"))), ""),
+          lit("</urlset>")).as("xml"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sitemaps.parquet")
+      Files.writeString(marker, SitemapVersion)
+    }
+    dir
+  }
+
+  def sitemaps(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sitemaps.parquet")
+
   // ---- readers ---------------------------------------------------------
 
   def interleaved(spark: SparkSession, dir: String): DataFrame =

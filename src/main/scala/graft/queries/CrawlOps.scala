@@ -278,6 +278,29 @@ object CrawlOps {
         .orderBy("host")
     }),
 
+    // S7: sitemap seed source + coverage audit — reference-class
+    // crawlers bootstrap the frontier from /sitemap.xml, not just a seed
+    // list. Parse the per-host sitemap XML (regex <loc> grammar [PINNED,
+    // mirrored in the oracle]), canonicalize each loc through the engine
+    // kernel (pass-through idempotence on canonical locs), and flag
+    // whether the corpus actually hosts it (left join against hosting —
+    // at web scale locs ~10^7 vs pages 10^10, a plain shuffle equi-join).
+    "q44_sitemap_seeds" -> ((s, dir) => {
+      val d = fx(s, dir)
+      CorpusGen.ensureSitemaps(s, d)
+      val locs = CorpusGen.sitemaps(s, d)
+        .select(col("host"),
+          explode(regexp_extract_all(col("xml"), lit("<loc>([^<]*)</loc>"), lit(1)))
+            .as("loc"))
+        .select(col("host"), canonicalize_url(col("loc")).as("url_canon"))
+      val known = CorpusGen.hosting(s, d)
+        .select(col("url_canon")).distinct().withColumn("in_corpus", lit(true))
+      locs.join(known, Seq("url_canon"), "left")
+        .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+        .select("host", "url_canon", "in_corpus")
+        .orderBy("host", "url_canon")
+    }),
+
     // A4/X5: hot-host detection + salt bucket assignment
     "q32_hot_hosts" -> ((s, dir) => {
       val counts = CorpusGen.hosting(s, fx(s, dir)).groupBy("host").count()
@@ -417,6 +440,19 @@ object CrawlOps {
          |  COALESCE(min_gap_ms >= COALESCE(d.delay_ms, 0), TRUE) AS compliant
          |FROM agg a LEFT JOIN delays d ON d.host = a.host
          |ORDER BY a.host""".stripMargin,
+
+    // same <loc> grammar; locs are canonical by construction so the
+    // engine's canonicalize is a pass-through (idempotence is q02's job)
+    "q44_sitemap_seeds" ->
+      s"""WITH locs AS (
+         |  SELECT host, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url_canon
+         |  FROM read_parquet('$FX/sitemaps.parquet/*.parquet'))
+         |SELECT l.host, l.url_canon, (h.url_canon IS NOT NULL) AS in_corpus
+         |FROM locs l LEFT JOIN (
+         |  SELECT DISTINCT url_canon
+         |  FROM read_parquet('$FX/hosting.parquet/*.parquet')) h
+         |  ON h.url_canon = l.url_canon
+         |ORDER BY 1, 2""".stripMargin,
 
     "q06_global_order" ->
       s"""SELECT url_canon,
