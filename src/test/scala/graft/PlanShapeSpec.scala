@@ -207,6 +207,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q40 window hashes are one codegen ngram_hashes pass — no " +
+      "interpreted window-string pipeline") {
+    val p = plan(SparkEntry.queries("q40_dup_ngrams")(spark, dir))
+    assert(p.contains("ngram_hashes"), s"q40 should use ngram_hashes:\n$p")
+    // the HOF reconstruction this kernel replaces would show as
+    // concat_ws/md5/conv stages in the plan
+    assert(!p.contains("concat_ws") && !p.contains("conv("),
+      s"q40 still carries an interpreted window pipeline:\n$p")
+  }
+
   test("q36 caps hot LSH buckets with a broadcast anti-join (q25 hygiene)") {
     val p = plan(SparkEntry.queries("q36_embed_neardup")(spark, dir))
     assert(p.contains("LeftAnti"), s"expected hot-bucket anti-join:\n$p")
