@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.LeafExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Constants that change every crawl round (round number, cumulative
   * fetch offset) WITHOUT changing the generated code text.
@@ -30,6 +30,21 @@ case class RefLongLiteral(value: Long) extends LeafExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftRefLong", java.lang.Long.valueOf(value), "java.lang.Long")
     ev.copy(code = code"final long ${ev.value} = $ref.longValue();", isNull = FalseLiteral)
+  }
+}
+
+/** Double variant — the per-iteration scalar of iterative numeric loops
+  * (hostRank's dangling mass): the value changes every iteration, the
+  * compiled class must not. */
+case class RefDoubleLiteral(value: Double) extends LeafExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "ref_double"
+  override def eval(input: InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRefDouble", java.lang.Double.valueOf(value), "java.lang.Double")
+    ev.copy(code = code"final double ${ev.value} = $ref.doubleValue();", isNull = FalseLiteral)
   }
 }
 

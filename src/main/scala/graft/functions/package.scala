@@ -44,6 +44,7 @@ package object functions {
     * the janino compilation cache instead of recompiling per round). */
   def ref_long(v: Long): Column = Shim.col(RefLongLiteral(v))
   def ref_int(v: Int): Column = Shim.col(RefIntLiteral(v))
+  def ref_double(v: Double): Column = Shim.col(RefDoubleLiteral(v))
 
   // ---- codegen vector kernels (array<double>) — see VectorExpressions --
 

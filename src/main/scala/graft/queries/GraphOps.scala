@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.corpus.CorpusGen
-import graft.functions.{extract_urls, host_of, ref_int}
+import graft.functions.{extract_urls, host_of, ref_double, ref_int}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,10 +40,15 @@ object GraphOps {
   /** Max BFS depth [PINNED — matches the crawl's maxDepth tier]. */
   private val MaxHops = 10
 
+  /** PageRank iteration count and damping for q45 [PINNED — mirrored in
+    * the oracle's unrolled CTE chain]. */
+  private val RankIters = 10
+  private val RankDamping = 0.85
+
   /** (doc_id, src_host, dst_host) for every link in a text span —
     * relative refs (host_of = "") become self-edges on the page's own
     * host. */
-  private def docEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docEdges(s: SparkSession, d: String): DataFrame = {
     val docHost = CorpusGen.hosting(s, d).select(col("doc_id"), col("host").as("src_host"))
     CorpusGen.interleaved(s, d)
       .select(col("doc_id"), explode(col("spans")).as("sp"))
@@ -106,7 +111,137 @@ object GraphOps {
       cached.foreach(_.unpersist(false))
       out
     }),
+
+    // PageRank over the weighted host edge list (G3) — ranks rounded to
+    // 6 decimals so the exact-equality gate is immune to the unpinned
+    // distributed fold order: engine and oracle agree to ~1e-14 while
+    // rank spacing to the nearest 0.5e-6 rounding boundary is ~1e-9+
+    // (verified at sf0.01), and both sides' round() yield the nearest
+    // double to the same 6-decimal value. The DuckDB oracle is a fully
+    // INDEPENDENT PageRank — RankIters iterations unrolled as chained
+    // CTEs (a recursive CTE can reference the working table only once;
+    // the update needs it three times) — not a golden fixture sharing
+    // the engine's fold (the q28 lesson).
+    "q45_host_rank" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val ranks = hostRank(
+        docEdges(s, d).select("src_host", "dst_host"), RankIters, RankDamping)
+      val out = ranks
+        .select(col("host"), round(col("rank"), 6).as("rank6"))
+        .orderBy("host").persist()
+      out.count() // materialize before releasing hostRank's frame
+      ranks.unpersist(false)
+      out
+    }),
   )
+
+  /** PageRank over a host edge list — the classic crawl-prioritization
+    * signal (what a production frontier weights `priority` by). Damping
+    * d: rank' = (1-d)/n + d·(Σ in-contributions + danglingMass/n), with
+    * a dangling host's rank redistributed uniformly. Iterative
+    * DataFrame loop: contributions shuffle on dst_host (at 10^7 hosts a
+    * plain hash-partitioned groupBy with map-side partials).
+    *
+    * LINEAGE — three measured failure modes shape this loop:
+    *  (1) persist alone does NOT truncate the logical plan, and a loop
+    *      whose next-frame references ranks twice (contributions +
+    *      in-plan dangling agg) doubles the tree every iteration — 2^k
+    *      copies by iteration k, an analysis OOM before any data moves
+    *      (12 iterations on a 7-edge graph killed a 5 GiB driver);
+    *  (2) a single-reference chain on the raw frames keeps the tree
+    *      linear but compounds per-action analysis cost anyway (1.2 s →
+    *      16.5 s per iteration by iteration 10 at SMOKE scale), so each
+    *      iteration reads its predecessor through `Shim.fromCache` —
+    *      the frame rebuilt on its InMemoryRelation leaf: constant
+    *      LOGICAL depth, no IO, no RDD scan node (localCheckpoint's
+    *      ExistingRDD violates the no-RDD-in-plans contract, see
+    *      GlobalOrder; the crawl's write-per-round snapshot is the
+    *      heavier equivalent);
+    *  (3) IMR rendering nests its cached child plan, so even with
+    *      fromCache a TWO-reference iteration makes AQE's explainString
+    *      2^k — an OOM in string building (observed at iteration ~10).
+    *      Hence exactly ONE predecessor reference per iteration: the
+    *      dangling mass leaves the plan as a driver-side scalar and
+    *      re-enters through `ref_double` (reference-literal, so the
+    *      codegen source stays iteration-invariant and janino compiles
+    *      each stage once for the whole loop). The scalar comes for
+    *      free: the materializing action of iteration k IS the dangling
+    *      aggregation for iteration k+1 — one job per iteration.
+    *
+    * Raw ranks are NOT hash-gateable: distributed double summation has
+    * no pinned fold order, so values are only reproducible to ~1e-12 —
+    * HostRankSpec verifies against a sequential reference model with
+    * tolerance, and q45 gates the 6-decimal rounding against an
+    * independent DuckDB PageRank (the q28 lesson: don't build a golden
+    * fixture whose only guarantee is sharing the engine's own fold).
+    *
+    * `edges` must have columns (src_host, dst_host); duplicate edges are
+    * weighted (a page linking twice contributes twice) — pass a
+    * `.distinct()`ed frame for the unweighted variant. Returns
+    * (host, rank) for every host in the edge set, Σ rank = 1. The
+    * returned frame is persisted (already materialized); the caller
+    * releases it. */
+  def hostRank(edges: DataFrame, iterations: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src_host"), col("dst_host")).persist()
+    val hosts = e.select(col("src_host").as("host"))
+      .union(e.select(col("dst_host").as("host"))).distinct().persist()
+    val n = hosts.count().toDouble
+    val outDeg = e.groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).cast("double").as("out_deg")).persist()
+    outDeg.count()
+
+    // materializing action + next iteration's dangling mass in ONE job:
+    // the anti-join probe scans every row of the persisted frame, so the
+    // cache builds as a side effect of the aggregation
+    def materializeWithDangling(df: DataFrame): Double =
+      df.join(outDeg, Seq("host"), "left_anti")
+        .agg(sum(col("rank"))).first() match {
+          case r if r.isNullAt(0) => 0.0 // no dangling hosts
+          case r                  => r.getDouble(0)
+        }
+
+    // AQE re-plans the whole nested cached-plan chain on every action
+    // (each IMR's cached plan is itself adaptive), so per-iteration cost
+    // compounds: 0.4 s flat without AQE vs 1 s → 31 s by iteration 10
+    // WITH it at smoke scale. The plans here are trivial (two cached
+    // small-side joins + one agg); suspend AQE for the loop and restore
+    // after — the crawl loop's own §8a.7 pattern.
+    val spark = edges.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var ranks = hosts.withColumn("rank", lit(1.0 / n)).persist()
+      var danglingMass = materializeWithDangling(ranks)
+      var it = 0
+      while (it < iterations) {
+        it += 1
+        // constant-depth plan: cur's plan is the predecessor's
+        // InMemoryRelation leaf (see the lineage note above)
+        val cur = org.apache.spark.sql.graftinternal.Shim.fromCache(ranks)
+        val inMass = cur
+          .join(outDeg, Seq("host"))
+          .withColumnRenamed("host", "src_host")
+          .join(e, Seq("src_host"))
+          .select(col("dst_host").as("host"), (col("rank") / col("out_deg")).as("c"))
+          .groupBy("host").agg(sum("c").as("in_mass"))
+        val next = hosts
+          .join(inMass, Seq("host"), "left")
+          .select(col("host"),
+            (ref_double((1.0 - damping) / n + damping * danglingMass / n) +
+              lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+          .persist()
+        danglingMass = materializeWithDangling(next)
+        ranks.unpersist(false)
+        ranks = next
+      }
+      val out = ranks
+      hosts.unpersist(false)
+      outDeg.unpersist(false)
+      e.unpersist(false)
+      out
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 
   /** CTE chain ending in ed(doc_id, src_host, dst_host) — the oracle's
     * reconstruction of docEdges: absolute matches (the kernel's Abs
@@ -152,5 +287,43 @@ object GraphOps {
          |  SELECT e.dst_host, r.d + 1 FROM r JOIN edges e ON e.src_host = r.host
          |  WHERE r.d < $MaxHops)
          |SELECT host, CAST(MIN(d) AS INT) AS dist FROM r GROUP BY host ORDER BY host""".stripMargin,
+
+    "q45_host_rank" -> {
+      // one chained CTE per PageRank iteration (the recursive-CTE form is
+      // out: the update term references the working table three times —
+      // contributions, dangling mass, and the full host universe).
+      // Duplicate edges stay (weighted, as in hostRank); dangling mass =
+      // Σ rank of hosts with no out-edges, redistributed uniformly.
+      // MATERIALIZED throughout: DuckDB inlines CTEs by default, and each
+      // step references its predecessor three times — the inlined chain
+      // re-evaluates the whole parse-heavy edge extraction 3^k times
+      // (measured: iterations ≥ 2 already ran for minutes at sf0.01).
+      // The SQL-side twin of the engine's plan-explosion fix.
+      val d = RankDamping
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS MATERIALIZED (SELECT h.host,
+           |    (1.0 - $d)/(SELECT nn FROM n)
+           |    + $d * (SELECT COALESCE(SUM(p.rank), 0) FROM $prev p
+           |            WHERE p.host NOT IN (SELECT host FROM deg))
+           |          / (SELECT nn FROM n)
+           |    + $d * COALESCE(im.in_mass, 0) AS rank
+           |  FROM hosts h LEFT JOIN (
+           |    SELECT e.dst_host AS host, SUM(p.rank / deg.out_deg) AS in_mass
+           |    FROM $prev p JOIN deg USING (host)
+           |    JOIN e ON e.src_host = p.host
+           |    GROUP BY 1) im USING (host))""".stripMargin
+      val chain = (1 to RankIters)
+        .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH $edgesSqlCte,
+         |e AS MATERIALIZED (SELECT src_host, dst_host FROM ed),
+         |hosts AS MATERIALIZED (SELECT DISTINCT host FROM
+         |  (SELECT src_host AS host FROM e UNION ALL SELECT dst_host FROM e)),
+         |deg AS MATERIALIZED (SELECT src_host AS host, CAST(COUNT(*) AS DOUBLE) AS out_deg
+         |  FROM e GROUP BY 1),
+         |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM hosts),
+         |r0 AS MATERIALIZED (SELECT host, 1.0/(SELECT nn FROM n) AS rank FROM hosts),
+         |$chain
+         |SELECT host, round(rank, 6) AS rank6 FROM r$RankIters ORDER BY host""".stripMargin
+    },
   )
 }
