@@ -22,11 +22,45 @@ object DiagRank {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = CorpusGen.ensureFor(spark, sfDir)
-    val t0 = System.nanoTime()
+    val tE = System.nanoTime()
     val edges = GraphOps.docEdges(spark, d).select("src_host", "dst_host")
+      .groupBy("src_host", "dst_host")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("double")
+        .as("w_pre")).drop("w_pre").persist()
+    val nEdges = edges.count()
+    println(f"[diagrank] edges $nEdges%d pairs ${(System.nanoTime() - tE) / 1e9}%.2f s")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val perStage = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val si = s.stageInfo
+        val run = if (si.taskMetrics != null) si.taskMetrics.executorRunTime else -1L
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        perStage.add((si.name.takeWhile(_ != '\n').take(60), si.numTasks, run, wall))
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskNanos.addAndGet(t.taskInfo.duration * 1000000L)
+      }
+    })
+    val t0 = System.nanoTime()
     val out = GraphOps.hostRank(edges, 10)
-    println(f"[diagrank] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[diagrank] rank loop ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"jobs ${jobs.get}%d stages ${stages.get}%d tasks ${tasks.get}%d " +
+      f"taskTime ${taskNanos.get / 1e9}%.2f s")
+    import scala.jdk.CollectionConverters._
+    perStage.asScala.toSeq.sortBy(-_._4).take(12).foreach { case (nm, nt, run, wall) =>
+      println(f"[diagrank] stage wall ${wall}%5d ms run ${run}%5d ms tasks $nt%3d  $nm%s")
+    }
     out.unpersist(false)
+    edges.unpersist(false)
     spark.stop()
   }
 }

@@ -183,34 +183,65 @@ object GraphOps {
     * releases it. */
   def hostRank(edges: DataFrame, iterations: Int = 10,
                damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src_host"), col("dst_host")).persist()
-    val hosts = e.select(col("src_host").as("host"))
-      .union(e.select(col("dst_host").as("host"))).distinct().persist()
-    val n = hosts.count().toDouble
-    val outDeg = e.groupBy(col("src_host").as("host"))
-      .agg(count(lit(1)).cast("double").as("out_deg")).persist()
-    outDeg.count()
+    // pre-aggregate to weighted distinct pairs ONCE: the iteration joins
+    // ranks to edges every round, so its cost must be O(distinct host
+    // pairs), not O(raw links) — 10^11 links collapse to ~10^7–10^8
+    // pairs at web scale, and contribution sums over w are identical.
+    // This aggregation (and the caller's edge extraction above it) runs
+    // at SESSION partitions with AQE on: it is the data-scale part.
+    val e0 = edges.groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).cast("double").as("w")).persist()
+    val pairs = e0.count()
 
-    // materializing action + next iteration's dangling mass in ONE job:
-    // the anti-join probe scans every row of the persisted frame, so the
-    // cache builds as a side effect of the aggregation
-    def materializeWithDangling(df: DataFrame): Double =
-      df.join(outDeg, Seq("host"), "left_anti")
-        .agg(sum(col("rank"))).first() match {
-          case r if r.isNullAt(0) => 0.0 // no dangling hosts
-          case r                  => r.getDouble(0)
-        }
-
-    // AQE re-plans the whole nested cached-plan chain on every action
-    // (each IMR's cached plan is itself adaptive), so per-iteration cost
-    // compounds: 0.4 s flat without AQE vs 1 s → 31 s by iteration 10
-    // WITH it at smoke scale. The plans here are trivial (two cached
-    // small-side joins + one agg); suspend AQE for the loop and restore
-    // after — the crawl loop's own §8a.7 pattern.
+    // The loop itself moves host-level rows only. Three measured rules
+    // (without them the 10-iteration loop cost 12.5 s at sf0.1 for
+    // 197 k pairs — 54 jobs, 2 038 tasks):
+    //  - shuffle partitions data-sized to the PAIR count (the q37
+    //    lesson: session cores reflect the corpus tier; ~500 k pairs
+    //    (~10-20 MB) per partition keeps a web-scale loop at hundreds
+    //    to thousands of partitions while tiny tiers run single-task
+    //    stages instead of paying 32 dispatches for microseconds of
+    //    work);
+    //  - broadcast joins OFF: each iteration would re-broadcast the
+    //    same cached e/outDeg/hosts (broadcast exchanges are per-job;
+    //    ReuseExchange never crosses actions), serializing 4-5
+    //    broadcast jobs per iteration;
+    //  - static caches built CO-PARTITIONED on their join keys at loop
+    //    partitions, with the ranks chain keeping HashPartitioning
+    //    (host) end-to-end, so an iteration is ONE job whose only
+    //    exchange is the contribution groupBy on dst_host.
+    // AQE additionally stays OFF for the loop (§8a.7): it re-plans the
+    // whole nested cached chain per action — 0.4 s flat without vs
+    // 1 s → 31 s per iteration by iteration 10 at smoke scale.
     val spark = edges.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val loopParts = math.max(1L,
+      math.min(partsBefore.toLong, pairs / 500000L + 1L)).toInt
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      val e = e0.repartition(loopParts, col("src_host")).persist()
+      val outDeg = e.groupBy(col("src_host").as("host"))
+        .agg(sum(col("w")).as("out_deg")).persist()
+      val hosts = e.select(col("src_host").as("host"))
+        .union(e.select(col("dst_host").as("host"))).distinct().persist()
+      val n = hosts.count().toDouble
+      outDeg.count()
+      e0.unpersist(false)
+
+      // materializing action + next iteration's dangling mass in ONE
+      // job: the anti-join probe scans every row of the persisted
+      // frame, so the cache builds as a side effect of the aggregation
+      def materializeWithDangling(df: DataFrame): Double =
+        df.join(outDeg, Seq("host"), "left_anti")
+          .agg(sum(col("rank"))).first() match {
+            case r if r.isNullAt(0) => 0.0 // no dangling hosts
+            case r                  => r.getDouble(0)
+          }
+
       var ranks = hosts.withColumn("rank", lit(1.0 / n)).persist()
       var danglingMass = materializeWithDangling(ranks)
       var it = 0
@@ -223,7 +254,8 @@ object GraphOps {
           .join(outDeg, Seq("host"))
           .withColumnRenamed("host", "src_host")
           .join(e, Seq("src_host"))
-          .select(col("dst_host").as("host"), (col("rank") / col("out_deg")).as("c"))
+          .select(col("dst_host").as("host"),
+            (col("rank") / col("out_deg") * col("w")).as("c"))
           .groupBy("host").agg(sum("c").as("in_mass"))
         val next = hosts
           .join(inMass, Seq("host"), "left")
@@ -240,7 +272,11 @@ object GraphOps {
       outDeg.unpersist(false)
       e.unpersist(false)
       out
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+    }
   }
 
   /** CTE chain ending in ed(doc_id, src_host, dst_host) — the oracle's
