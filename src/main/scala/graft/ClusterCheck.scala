@@ -275,10 +275,27 @@ object ClusterCheck {
             s"log commit mode under local-cluster[$executors,$coresPer]")
         } finally hc.unset("graft.snapshot.commit.mode")
 
+      // hostRank (q45's loop) under multi-JVM: Shim.fromCache rebuilds
+      // each iteration's frame on an InMemoryRelation whose cached
+      // blocks live in the forked executor JVMs (local[n] shares the
+      // driver heap and proves nothing about block transport), and the
+      // loop's AQE/partition/broadcast conf flips are driver-side state
+      // that must not corrupt a cluster session.
+      val edgesDf = graft.queries.GraphOps.docEdges(spark, fixtureDir)
+        .select("src_host", "dst_host")
+      val rankDf = graft.queries.GraphOps.hostRank(edgesDf, 10)
+      val gotRank = rankDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      rankDf.unpersist(false)
+      val edgeSeq = edgesDf.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.oracle.RankOracle.assertClose(gotRank,
+        graft.oracle.RankOracle.rank(edgeSeq, 10, 0.85),
+        s"hostRank under local-cluster[$executors,$coresPer]")
+
       println(s"CLUSTER-CHECK OK executors=$executors coresPer=$coresPer " +
         s"fetched=$fetched seen=$seen retire_resume_seen=${got2Seen.size} " +
         s"media_fetched=$fetchedM media_seen=$seenM " +
-        s"logmode_fetched=$fetchedL logmode_seen=$seenL")
+        s"logmode_fetched=$fetchedL logmode_seen=$seenL " +
+        s"rank_hosts=${gotRank.size}")
     } finally spark.stop()
   }
 

@@ -192,6 +192,10 @@ object GraphOps {
     val e0 = edges.groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).cast("double").as("w")).persist()
     val pairs = e0.count()
+    if (pairs == 0) { // no hosts: 1/n below would be a silent Infinity
+      e0.unpersist(false)
+      throw new IllegalArgumentException("hostRank: empty edge set")
+    }
 
     // The loop itself moves host-level rows only. Three measured rules
     // (without them the 10-iteration loop cost 12.5 s at sf0.1 for
