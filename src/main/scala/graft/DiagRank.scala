@@ -50,8 +50,9 @@ object DiagRank {
         if (t.taskInfo != null) taskNanos.addAndGet(t.taskInfo.duration * 1000000L)
       }
     })
+    val iters = sys.env.getOrElse("DIAG_ITERS", "10").toInt
     val t0 = System.nanoTime()
-    val out = GraphOps.hostRank(edges, 10)
+    val out = GraphOps.hostRank(edges, iters)
     println(f"[diagrank] rank loop ${(System.nanoTime() - t0) / 1e9}%.2f s " +
       f"jobs ${jobs.get}%d stages ${stages.get}%d tasks ${tasks.get}%d " +
       f"taskTime ${taskNanos.get / 1e9}%.2f s")
