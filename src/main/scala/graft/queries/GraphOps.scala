@@ -133,6 +133,24 @@ object GraphOps {
       ranks.unpersist(false)
       out
     }),
+
+    // Connected components over the (undirected) host graph (G4) — the
+    // crawl planner's cluster view: which host groups are mutually
+    // reachable at all (isolated clusters = candidate spam farms /
+    // dead archipelagos; the seed-coverage complement of q42's
+    // distances). Min-label propagation to a VERIFIED fixpoint — string
+    // min is exact, so unlike q45 this iterative query needs no
+    // rounding shield and sits on the ordinary hash gate. Oracle: the
+    // component label is min(reachable host), so a recursive closure
+    // CTE + GROUP BY MIN recomputes it independently.
+    "q46_host_components" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val comps = hostComponents(docEdges(s, d).select("src_host", "dst_host"))
+      val out = comps.orderBy("host").persist()
+      out.count() // materialize before releasing hostComponents' frame
+      comps.unpersist(false)
+      out
+    }),
   )
 
   /** PageRank over a host edge list — the classic crawl-prioritization
@@ -180,7 +198,11 @@ object GraphOps {
     * `.distinct()`ed frame for the unweighted variant. Returns
     * (host, rank) for every host in the edge set, Σ rank = 1. The
     * returned frame is persisted (already materialized); the caller
-    * releases it. */
+    * releases it. NOTE: the loop temporarily flips session confs
+    * (adaptive off, loop-sized shuffle partitions, broadcast joins off
+    * — restored on exit, exceptions included), the same session-scoped
+    * pattern as the crawl loop: don't plan unrelated queries on this
+    * session concurrently with a hostRank call. */
   def hostRank(edges: DataFrame, iterations: Int = 10,
                damping: Double = 0.85): DataFrame = {
     // pre-aggregate to weighted distinct pairs ONCE: the iteration joins
@@ -218,15 +240,7 @@ object GraphOps {
     // whole nested cached chain per action — 0.4 s flat without vs
     // 1 s → 31 s per iteration by iteration 10 at smoke scale.
     val spark = edges.sparkSession
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val loopParts = math.max(1L,
-      math.min(partsBefore.toLong, pairs / 500000L + 1L)).toInt
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withLoopConfs(spark, pairs) { loopParts =>
       val e = e0.repartition(loopParts, col("src_host")).persist()
       val outDeg = e.groupBy(col("src_host").as("host"))
         .agg(sum(col("w")).as("out_deg")).persist()
@@ -276,10 +290,114 @@ object GraphOps {
       outDeg.unpersist(false)
       e.unpersist(false)
       out
-    } finally {
+    }
+  }
+
+  /** Session-conf envelope for the iterative loops (hostRank /
+    * hostComponents), restored on every exit path — see hostRank's
+    * in-body comment for the three measured reasons: AQE off (it
+    * re-plans the nested cached chain per action), shuffle partitions
+    * data-sized to the pair count (~500 k pairs ≈ 10-20 MB per
+    * partition), broadcast joins off (per-job broadcast exchanges are
+    * never reused across actions, so every iteration would re-broadcast
+    * the same cached tables). `body` receives the loop partition count
+    * for co-partitioning its static caches. */
+  private def withLoopConfs[T](spark: SparkSession, pairs: Long)(body: Int => T): T = {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val loopParts = math.max(1L,
+      math.min(partsBefore.toLong, pairs / 500000L + 1L)).toInt
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body(loopParts)
+    finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+    }
+  }
+
+  /** Connected components of the UNDIRECTED host graph: min-label
+    * propagation to a verified fixpoint — each host's component id is
+    * the lexicographically smallest host reachable from it (string min:
+    * exact, deterministic, no float fold anywhere, so q46 sits on the
+    * ordinary hash gate). Same iterative-loop discipline as [[hostRank]]
+    * (constant-depth plans via Shim.fromCache, one predecessor
+    * reference, co-partitioned caches, withLoopConfs envelope) with two
+    * shape differences:
+    *  - identity self-edges (h,h) join the undirected edge set, so the
+    *    neighbor-min pass ALREADY covers a host's own label and the
+    *    next frame needs exactly one predecessor reference — no
+    *    least(own, nbr) second join;
+    *  - the materializing action is the exact changed-row count (next ⋈
+    *    prev on the co-partitioned caches — an ephemeral action plan,
+    *    never part of the next iteration's lineage), so convergence is
+    *    verified, not assumed: stopping only at changed == 0 makes the
+    *    result the true fixpoint regardless of iteration budget, and
+    *    exceeding `maxIters` without converging throws rather than
+    *    returning partially-propagated labels.
+    * Plain propagation converges in O(graph diameter) rounds — small
+    * for web host graphs; at 10^7+ hosts with pathological diameters
+    * the large-star/small-star variant would replace this [documented
+    * limit]. Returns (host, component), persisted; caller releases. */
+  def hostComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val und0 = edges.select(col("src_host").as("a"), col("dst_host").as("b"))
+      .union(edges.select(col("dst_host").as("a"), col("src_host").as("b")))
+      .distinct().persist()
+    val pairs = und0.count()
+    if (pairs == 0) {
+      und0.unpersist(false)
+      throw new IllegalArgumentException("hostComponents: empty edge set")
+    }
+    val spark = edges.sparkSession
+    withLoopConfs(spark, pairs) { loopParts =>
+      // both directions are present, so the a-side alone covers every
+      // host; identity edges make the neighbor pass self-inclusive
+      val hosts = und0.select(col("a").as("host")).distinct()
+        .repartition(loopParts, col("host")).persist()
+      val und = und0.select(col("a"), col("b"))
+        .union(hosts.select(col("host").as("a"), col("host").as("b")))
+        .repartition(loopParts, col("a")).persist()
+      val n = hosts.count()
+      und.count()
+      und0.unpersist(false)
+
+      var lab = hosts.withColumn("label", col("host")).persist()
+      lab.count()
+      var it = 0
+      var changed = n // any nonzero sentinel
+      while (changed != 0) {
+        it += 1
+        if (it > maxIters) throw new IllegalStateException(
+          s"hostComponents: no fixpoint after $maxIters iterations " +
+            "(graph diameter exceeds the budget); raise maxIters")
+        val cur = org.apache.spark.sql.graftinternal.Shim.fromCache(lab)
+        val next = cur
+          .withColumnRenamed("host", "a")
+          .join(und, Seq("a"))
+          .groupBy(col("b").as("host")).agg(min(col("label")).as("label"))
+          .persist()
+        // exact convergence check doubling as the materializing action;
+        // co-partitioned on host → no exchange
+        changed = next
+          .join(cur.withColumnRenamed("label", "prev"), Seq("host"))
+          .agg(sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)))
+          .first() match {
+            case r if r.isNullAt(0) => 0L
+            case r                  => r.getLong(0)
+          }
+        lab.unpersist(false)
+        lab = next
+      }
+      val out = lab.select(col("host"), col("label").as("component"))
+        .persist()
+      out.count()
+      lab.unpersist(false)
+      hosts.unpersist(false)
+      und.unpersist(false)
+      out
     }
   }
 
@@ -365,5 +483,21 @@ object GraphOps {
          |$chain
          |SELECT host, round(rank, 6) AS rank6 FROM r$RankIters ORDER BY host""".stripMargin
     },
+
+    // component id = min reachable host, recomputed independently as a
+    // recursive label closure over the undirected edge set (UNION dedups
+    // (host,label) pairs, so the recursion is bounded by Σ comp²).
+    // und MATERIALIZED: it feeds both the base and every recursive step.
+    "q46_host_components" ->
+      s"""WITH RECURSIVE $edgesSqlCte,
+         |und AS MATERIALIZED (
+         |  SELECT src_host AS a, dst_host AS b FROM ed
+         |  UNION
+         |  SELECT dst_host AS a, src_host AS b FROM ed),
+         |r(host, label) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT u.b, r.label FROM r JOIN und u ON u.a = r.host)
+         |SELECT host, MIN(label) AS component FROM r GROUP BY host ORDER BY host""".stripMargin,
   )
 }
