@@ -298,6 +298,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // near-dup CLUSTERS off the q25 verified pair graph — the step a
+    // training-data pipeline actually acts on: connected components of
+    // the pair graph (GraphOps.hostComponents — label propagation to a
+    // verified fixpoint), cluster id = min doc_id, `keep` marks the one
+    // representative per cluster a dedup pass would retain. Docs in no
+    // verified pair are absent (singletons are trivially kept; mirrored
+    // by the oracle's closure over the same pair SQL).
+    "q47_dedup_clusters" -> ((s, dir) => {
+      val pairsDf = queries("q25_lsh_pairs")(s, dir) // persisted; ours to release
+      val comps = GraphOps.hostComponents(
+        pairsDf.select(col("doc_a").as("src_host"), col("doc_b").as("dst_host")))
+      val labeled = comps
+        .select(col("host").as("doc_id"), col("component").as("cluster"))
+      val sizes = labeled.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      val out = labeled.join(sizes, Seq("cluster"))
+        .withColumn("keep", col("doc_id") === col("cluster"))
+        .select("doc_id", "cluster", "cluster_size", "keep")
+        .orderBy("doc_id")
+        .persist()
+      out.count()
+      comps.unpersist(false)
+      pairsDf.unpersist(false)
+      out
+    }),
+
     // document fingerprint: md5 over the sorted distinct word set
     "q31_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -306,6 +332,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
   )
+
+  /** q25's oracle SQL, shared verbatim with q47 (which closes over the
+    * verified pair graph): one source, so the pair semantics cannot
+    * drift between the pair query and the cluster query. */
+  private lazy val q25PairsSql: String =
+    shinglesSqlCte.format(docsAugmentedSql) +
+      s""",
+        |sig AS (SELECT doc_id, ${minhashSigsSql(8)} AS sigs FROM sh),
+        |wsets AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
+        | FROM (%s)),
+        |banded AS (SELECT doc_id, b AS band_id,
+        |  md5(CAST(sigs[2*b+1] AS VARCHAR) || '_' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_key
+        | FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+        |hot AS (SELECT band_id, band_key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 64),
+        |pruned AS (SELECT * FROM banded bd WHERE NOT EXISTS (
+        |  SELECT 1 FROM hot h WHERE h.band_id = bd.band_id AND h.band_key = bd.band_key)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM pruned a JOIN pruned b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        | WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | round(len(list_intersect(wa.wset, wb.wset)) * 1.0
+        |       / len(list_distinct(wa.wset || wb.wset)), 4) AS jaccard
+        |FROM pairs JOIN wsets wa ON wa.doc_id = doc_a JOIN wsets wb ON wb.doc_id = doc_b
+        |WHERE round(len(list_intersect(wa.wset, wb.wset)) * 1.0
+        |       / len(list_distinct(wa.wset || wb.wset)), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin.format(docsAugmentedSql)
 
   val oracle: Map[String, String] = Map(
     "q20_tokens" ->
@@ -351,28 +403,28 @@ object TextOps {
       (shinglesSqlCte.format(docsAugmentedSql) +
         s"\nSELECT doc_id, ${minhashSigSql(8)} AS minhash FROM sh ORDER BY doc_id"),
 
-    "q25_lsh_pairs" ->
-      (shinglesSqlCte.format(docsAugmentedSql) +
-        s""",
-          |sig AS (SELECT doc_id, ${minhashSigsSql(8)} AS sigs FROM sh),
-          |wsets AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
-          | FROM (%s)),
-          |banded AS (SELECT doc_id, b AS band_id,
-          |  md5(CAST(sigs[2*b+1] AS VARCHAR) || '_' || CAST(sigs[2*b+2] AS VARCHAR)) AS band_key
-          | FROM sig, UNNEST([0,1,2,3]) AS t(b)),
-          |hot AS (SELECT band_id, band_key FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 64),
-          |pruned AS (SELECT * FROM banded bd WHERE NOT EXISTS (
-          |  SELECT 1 FROM hot h WHERE h.band_id = bd.band_id AND h.band_key = bd.band_key)),
-          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          | FROM pruned a JOIN pruned b ON a.band_id = b.band_id AND a.band_key = b.band_key
-          | WHERE a.doc_id < b.doc_id)
-          |SELECT doc_a, doc_b,
-          | round(len(list_intersect(wa.wset, wb.wset)) * 1.0
-          |       / len(list_distinct(wa.wset || wb.wset)), 4) AS jaccard
-          |FROM pairs JOIN wsets wa ON wa.doc_id = doc_a JOIN wsets wb ON wb.doc_id = doc_b
-          |WHERE round(len(list_intersect(wa.wset, wb.wset)) * 1.0
-          |       / len(list_distinct(wa.wset || wb.wset)), 4) >= 0.5
-          |ORDER BY doc_a, doc_b""".stripMargin.format(docsAugmentedSql)),
+    "q25_lsh_pairs" -> q25PairsSql,
+
+    // near-dup clusters: recursive label closure over the q25 pair
+    // graph (q25PairsSql verbatim as the subquery — single-sourced), the
+    // same component-id rule as q46 (min reachable doc_id); canonical
+    // representative = the min itself (`keep`).
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ($q25PairsSql)),
+         |und AS MATERIALIZED (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM p),
+         |r(d, label) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT u.b, r.label FROM r JOIN und u ON u.a = r.d),
+         |comp AS (SELECT d AS doc_id, MIN(label) AS cluster FROM r GROUP BY d),
+         |siz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT doc_id, cluster, cluster_size, (doc_id = cluster) AS keep
+         |FROM comp JOIN siz USING (cluster) ORDER BY doc_id""".stripMargin,
 
     "q26_simhash" ->
       """SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM (
