@@ -298,6 +298,111 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // WITHIN-document repetition signals (Gopher-style quality filters,
+    // Rae et al. 2021 appendix A1.1): fraction of n-gram windows claimed
+    // by the single most frequent 2-gram, fraction of 2-/5-gram windows
+    // that occur more than once in the SAME document, and the
+    // distinct-word ratio. The complement of q40 (which detects text
+    // duplicated ACROSS documents): a doc that loops over its own
+    // phrases is low-quality even if no other doc shares them. Shape at
+    // corpus scale: window hashes are one codegen pass per doc (the q40
+    // kernel — one md5 per window, no window strings), and everything
+    // downstream is partial-aggregating groupBy on (doc_id[, h]) — a
+    // pure hash-agg pipeline, no join against any global structure, no
+    // self-join; 100 TB cost is two map-side-combined shuffles of
+    // near-uniform (doc_id, h) keys.
+    "q48_repetition" -> ((s, dir) => {
+      // the raw docs have no WITHIN-doc phrase repetition, so the 5-gram
+      // signal would be vacuously zero — append deterministic
+      // self-concatenated rows (same convention as docsAugmented's dedup
+      // rows, mirrored in SQL) so every signal is exercised
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = d0.unionByName(d0.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+      def winStats(w: Int, pfx: String): DataFrame =
+        d.select(col("doc_id"),
+            explode(graft.functions.ngram_hashes(words(col("text")), w)).as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as(s"${pfx}_n"),
+            max("c").as(s"${pfx}_top"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"${pfx}_dup"))
+      val ws = words(col("text"))
+      val base = d.select(col("doc_id"),
+        size(ws).as("n_words"), size(array_distinct(ws)).as("n_uniq"))
+      base
+        .join(winStats(2, "g2"), Seq("doc_id"), "left")
+        .join(winStats(5, "g5"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("g2_n", "g2_top", "g2_dup", "g5_n", "g5_dup"))
+        .withColumn("uniq_ratio",
+          round(col("n_uniq").cast("double") / greatest(col("n_words"), lit(1)), 4))
+        .withColumn("top2_frac", when(col("g2_n") === 0, lit(0.0))
+          .otherwise(round(col("g2_top").cast("double") / col("g2_n"), 4)))
+        .withColumn("dup2_frac", when(col("g2_n") === 0, lit(0.0))
+          .otherwise(round(col("g2_dup").cast("double") / col("g2_n"), 4)))
+        .withColumn("dup5_frac", when(col("g5_n") === 0, lit(0.0))
+          .otherwise(round(col("g5_dup").cast("double") / col("g5_n"), 4)))
+        .select("doc_id", "n_words", "uniq_ratio", "top2_frac", "dup2_frac", "dup5_frac")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified mixture sampling (the data-mixology op:
+    // build a training mix with per-language keep rates). Membership is
+    // an INTEGER compare on the first 56 bits of md5("mix42_"||doc_id)
+    // against an exact rational rate (tenths): u*10 < num*2^56 — no
+    // float boundary anywhere, so any engine reproduces the exact same
+    // sample (the property that makes a mixture recipe auditable), and
+    // the sample is a pure function of (doc_id, seed string), stable
+    // under corpus repartition/reorder. `weight` = 1/rate is the
+    // importance weight downstream loss accounting needs. At 100 TB this
+    // is a map-only filter — no shuffle, no sketch, no stored state.
+    "q49_mixture_sample" -> ((s, dir) => {
+      val u56 = conv(substring(
+        md5(concat(lit("mix42_"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+        .cast("long")
+      // per-10 keep rates [PINNED, mirrored in SQL]: en 9, de/fr/es 6,
+      // zh 3, anything else 2
+      val num = when(col("lang") === "en", 9)
+        .when(col("lang").isin("de", "fr", "es"), 6)
+        .when(col("lang") === "zh", 3)
+        .otherwise(2).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), u56.as("u"), num.as("num"))
+        .filter(col("u") * lit(10L) < col("num") * lit(72057594037927936L)) // 2^56
+        .withColumn("weight", round(lit(10.0) / col("num"), 4))
+        .select("doc_id", "lang", "weight")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark DECONTAMINATION — the training-data hygiene op: flag
+    // training documents that share n-gram windows with a held-out
+    // evaluation set (n-gram-overlap decontamination, the GPT-3/Gopher
+    // convention; W=3 here because the synthetic docs are short — real
+    // pipelines use 8-13-gram windows, same shape). Eval set = doc_id %
+    // 97 == 0 [PINNED, a stand-in benchmark]; a training doc is
+    // contaminated iff any of its windows hashes into the eval window
+    // set. Shape at corpus scale: eval windows are benchmark-sized
+    // (tiny vs the corpus) → broadcast semi-ish inner join on the
+    // 56-bit window hash; the training side is the same one-pass
+    // codegen kernel + explode as q40 — no self-join, no all-pairs.
+    "q52_decontaminate" -> ((s, dir) => {
+      val W = 3
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.ngram_hashes(words(col("text")), W).as("hs"))
+      val evalWins = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("hs")).as("n_windows"), explode(col("hs")).as("h"))
+      train.join(broadcast(evalWins), Seq("h"))
+        .groupBy("doc_id", "n_windows")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .withColumn("share_ratio",
+          round(col("n_shared").cast("double") / col("n_windows"), 4))
+        .select("doc_id", "n_windows", "n_shared", "share_ratio")
+        .orderBy("doc_id")
+    }),
+
     // near-dup CLUSTERS off the q25 verified pair graph — the step a
     // training-data pipeline actually acts on: connected components of
     // the pair graph (GraphOps.hostComponents — label propagation to a
@@ -480,5 +585,66 @@ object TextOps {
          |       ELSE CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / len(w2.hs) END AS dup_ratio
          |FROM wins w2 LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q48: same 56-bit md5-window formula as q40's oracle, window sizes
+    // 2 and 5, aggregated WITHIN each document
+    "q48_repetition" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
+        |    FROM documents WHERE doc_id % 13 = 0),
+        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM d),
+        |h2 AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 14) AS BIGINT))
+        |  ELSE [] END AS hs FROM w),
+        |h5 AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 14) AS BIGINT))
+        |  ELSE [] END AS hs FROM w),
+        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g2_n, CAST(MAX(c) AS BIGINT) AS g2_top,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g2_dup
+        |  FROM (SELECT doc_id, h, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h2) GROUP BY doc_id, h)
+        |  GROUP BY doc_id),
+        |a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g5_n,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g5_dup
+        |  FROM (SELECT doc_id, h, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h5) GROUP BY doc_id, h)
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+        |  round(len(list_distinct(w.ws)) * 1.0 / greatest(len(w.ws), 1), 4) AS uniq_ratio,
+        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
+        |       ELSE round(a2.g2_top * 1.0 / a2.g2_n, 4) END AS top2_frac,
+        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
+        |       ELSE round(a2.g2_dup * 1.0 / a2.g2_n, 4) END AS dup2_frac,
+        |  CASE WHEN COALESCE(a5.g5_n, 0) = 0 THEN 0.0
+        |       ELSE round(a5.g5_dup * 1.0 / a5.g5_n, 4) END AS dup5_frac
+        |FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |h3 AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 14) AS BIGINT))
+        |  ELSE [] END AS hs FROM w),
+        |ex AS (SELECT doc_id, CAST(len(hs) AS INT) AS n_windows, unnest(hs) AS h FROM h3),
+        |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+        |SELECT e.doc_id, e.n_windows,
+        |  CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shared,
+        |  round(COUNT(DISTINCT e.h) * 1.0 / e.n_windows, 4) AS share_ratio
+        |FROM ex e JOIN ev USING (h)
+        |WHERE e.doc_id % 97 != 0
+        |GROUP BY e.doc_id, e.n_windows
+        |ORDER BY e.doc_id""".stripMargin,
+
+    "q49_mixture_sample" ->
+      """SELECT doc_id, lang, round(10.0 / num, 4) AS weight FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('mix42_' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS u,
+        |    CASE WHEN lang = 'en' THEN 9 WHEN lang IN ('de','fr','es') THEN 6
+        |         WHEN lang = 'zh' THEN 3 ELSE 2 END AS num
+        |  FROM documents)
+        |WHERE u * 10 < num * 72057594037927936
+        |ORDER BY doc_id""".stripMargin,
   )
 }
