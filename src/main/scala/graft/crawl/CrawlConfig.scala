@@ -75,6 +75,21 @@ final case class CrawlConfig(
     * keepLast=1 would have deleted it. (Offline expireRounds calls on a
     * quiesced snapshot may use keepLast=1.) */
   expireKeepLast: Int = 2,
+  /** Per-URL priority scheduling — the "priority" half of the north
+    * star's min-heap key "(host, next-fetch-time, depth/priority)",
+    * realized with an actual priority signal distinct from discovery
+    * depth. [PINNED semantics, mirrored in CrawlOracle.prioOf]:
+    * priority = the canonical URL's length in Unicode code points —
+    * shorter URLs fetch first, the classic cheap importance proxy
+    * (short URLs correlate with hubs/section roots; leaf/detail pages
+    * carry long paths and query strings) — and the per-host schedule
+    * orders by (priority asc, depth asc, url_hash asc) instead of
+    * (depth, url_hash). Priority is a pure function of url_canon,
+    * recomputed at schedule time — carried rows and the frontier
+    * files keep their schema, and every downstream key (global crawl
+    * order, intra-round dedup, seen set) is untouched. Off by default:
+    * the pinned default crawl stays byte-identical. */
+  priorityByUrlLen: Boolean = false,
   /** Follow media spans: enqueue each media span's `media_ref` as a
     * frontier candidate alongside the text spans' extracted links — the
     * asset-fetching half of a crawler over INTERLEAVED text+media

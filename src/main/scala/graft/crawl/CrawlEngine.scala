@@ -518,13 +518,23 @@ final class CrawlEngine(
       // expression over the compiled rule index (no UDF in the hot
       // path), or the Dataset-join path when the rule table outgrows
       // task serialization (cfg.robotsViaJoin — 10^7+ hosts)
-      val allowedWide =
+      val allowedNoPrio =
         if (cfg.robotsViaJoin)
           RobotsJoin.filterAllowed(frontier, robotsRulesDf)
         else frontier
           .withColumn("__allowed", Shim.col(RobotsAllows(
             Shim.expr(col("host")), Shim.expr(col("url_canon")), robotsIndex)))
           .filter(col("__allowed")).drop("__allowed")
+      // priority mode: per-URL priority = canonical-URL code-point
+      // length, a pure function of url_canon recomputed at schedule
+      // time ([PINNED] — CrawlConfig.priorityByUrlLen; Spark `length`
+      // counts code points, mirrored by codePointCount in
+      // CrawlOracle.prioOf). Computed BEFORE the skinny projection so
+      // the scheduler sees it without url_canon.
+      val allowedWide =
+        if (cfg.priorityByUrlLen)
+          allowedNoPrio.withColumn("prio", length(col("url_canon")))
+        else allowedNoPrio
 
       // Skinny scheduling (cfg.skinnySchedule): url_canon — the row's
       // widest column (~60-80 B vs ~30 B for the key trio) — must not
@@ -555,7 +565,9 @@ final class CrawlEngine(
           .persist(StorageLevel.MEMORY_AND_DISK))
         else None
       val allowed =
-        if (skinny) allowedCache.get.select("url_hash", "host", "depth")
+        if (skinny) allowedCache.get.select(
+          ("url_hash" :: "host" :: "depth" ::
+            (if (cfg.priorityByUrlLen) List("prio") else Nil)).map(col): _*)
         else allowedCache.getOrElse(allowedWide)
 
       // W1/Q1: politeness schedule
@@ -572,15 +584,15 @@ final class CrawlEngine(
       val schedAll = (
         if (cfg.typedHeapScheduler)
           Scheduler.typedHeap(spark, allowed, delayByHost, collectHostReady(hostReadyDf),
-            cfg.defaultDelayMs)
+            cfg.defaultDelayMs, usePrio = cfg.priorityByUrlLen)
         // web-scale mode (robotsViaJoin): hostMeta is O(#hosts) — join it
         // distributed instead of broadcasting through the driver
         else if (cfg.saltedScheduler)
           Scheduler.salted(allowed, hostMeta, cfg.defaultDelayMs,
-            broadcastMeta = !cfg.robotsViaJoin)
+            broadcastMeta = !cfg.robotsViaJoin, usePrio = cfg.priorityByUrlLen)
         else
           Scheduler.window(allowed, hostMeta, cfg.defaultDelayMs,
-            broadcastMeta = !cfg.robotsViaJoin)
+            broadcastMeta = !cfg.robotsViaJoin, usePrio = cfg.priorityByUrlLen)
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
       val carried = canonCache match {

@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
   *    priority queue — the reference's data structure, kept as the
   *    fidelity oracle for the window forms.
   *
-  * Input columns: url_canon, url_hash, host, depth.
+  * Input columns: url_canon, url_hash, host, depth (+ an int `prio`
+  * when `usePrio` — CrawlConfig.priorityByUrlLen's (prio, depth,
+  * url_hash) per-host order; default plans are unchanged).
   * hostMeta columns: host, delay_ms, ready_ts.
   * Output: input + rn (1-based per-host rank) + fetch_ts.
   */
 object Scheduler {
 
-  final case class FrontierRow(url_canon: String, url_hash: Long, host: String, depth: Int)
+  final case class FrontierRow(url_canon: String, url_hash: Long, host: String, depth: Int,
+    prio: Int)
   final case class ScheduledRow(url_canon: String, url_hash: Long, host: String, depth: Int,
     rn: Int, fetch_ts: Long)
+
+  /** With `usePrio` the per-host order key is (prio, depth, url_hash)
+    * [PINNED — CrawlConfig.priorityByUrlLen]; the input must carry an
+    * integer `prio` column. Without it the key is (depth, url_hash) and
+    * the plans are exactly the pre-priority shapes. */
+  private def orderKeys(usePrio: Boolean): Seq[String] =
+    if (usePrio) Seq("prio", "depth") else Seq("depth")
 
   /** `broadcastMeta = false` is the web-scale mode: hostMeta is
     * O(#hosts) (10^7–10^8 rows at the SURVEY sizing), which must not
@@ -51,8 +61,9 @@ object Scheduler {
       .drop("__delay", "__ready")
 
   def window(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
-             broadcastMeta: Boolean = true): DataFrame = {
-    val w = Window.partitionBy("host").orderBy(col("depth"), col("url_hash"))
+             broadcastMeta: Boolean = true, usePrio: Boolean = false): DataFrame = {
+    val w = Window.partitionBy("host")
+      .orderBy(orderKeys(usePrio).map(col) :+ col("url_hash"): _*)
     finish(withMeta(df, hostMeta, defaultDelayMs, broadcastMeta)
       .withColumn("rn", row_number().over(w)))
   }
@@ -79,9 +90,11 @@ object Scheduler {
     * frontier: 41.7 s vs 41.9 s medians — a wash locally, and this form
     * shuffles strictly less at scale. */
   def salted(df: DataFrame, hostMeta: DataFrame, defaultDelayMs: Long,
-             broadcastMeta: Boolean = true): DataFrame = {
+             broadcastMeta: Boolean = true, usePrio: Boolean = false): DataFrame = {
+    val keys = orderKeys(usePrio) // (prio,) depth — the pre-salt order prefix
     val saltCol = shiftright(col("url_hash"), 56) // signed ⇒ monotonic in url_hash
-    val wFine = Window.partitionBy("host", "depth", "__salt").orderBy(col("url_hash"))
+    val wFine = Window.partitionBy((("host" +: keys) :+ "__salt").map(col): _*)
+      .orderBy(col("url_hash"))
     // NO row-level meta join on the frontier side (review finding): a
     // shuffle join keyed on bare host puts the Zipf-hot host's entire
     // frontier in ONE join task — exactly the skew this path exists to
@@ -94,39 +107,41 @@ object Scheduler {
     val fine = df
       .withColumn("__salt", saltCol)
       .withColumn("__rnd", row_number().over(wFine))
-    // cumulative offsets over the (depth, salt) groups of each host
-    // (≤ maxDepth × 256 rows per host — trivially balanced)
-    val wOfs = Window.partitionBy("host").orderBy("depth", "__salt")
+    // cumulative offsets over the ((prio,) depth, salt) groups of each
+    // host (≤ [prios ×] maxDepth × 256 rows per host — trivially balanced)
+    val wOfs = Window.partitionBy("host").orderBy((keys :+ "__salt").map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val metaSel = hostMeta.select(col("host"), col("delay_ms"), col("ready_ts"))
     val offsets = df
-      .groupBy(col("host"), col("depth"), saltCol.as("__salt")).count()
+      .groupBy((col("host") +: keys.map(col)) :+ saltCol.as("__salt"): _*).count()
       .withColumn("__offset", coalesce(sum("count").over(wOfs), lit(0L)))
       .join(if (broadcastMeta) broadcast(metaSel) else metaSel, Seq("host"), "left")
       .withColumn("__delay", coalesce(col("delay_ms"), lit(defaultDelayMs)))
       .withColumn("__ready", coalesce(col("ready_ts"), lit(0L)))
-      .select(col("host"), col("depth"), col("__salt"), col("__offset"),
-        col("__delay"), col("__ready"))
+      .select((col("host") +: keys.map(col)) ++ Seq(col("__salt"), col("__offset"),
+        col("__delay"), col("__ready")): _*)
     finish(
-      fine.join(offsets, Seq("host", "depth", "__salt"))
+      fine.join(offsets, ("host" +: keys) :+ "__salt")
         .withColumn("rn", (col("__offset") + col("__rnd")).cast("int"))
         .drop("__rnd", "__offset", "__salt"))
   }
 
   /** Q1 — the reference's per-host min-heap, typed. Identical output to
-    * `window` by construction (heap key = (depth, url_hash)). */
+    * `window` by construction (heap key = ((prio,) depth, url_hash)). */
   def typedHeap(spark: SparkSession, df: DataFrame,
                 delayOf: Map[String, Long], readyOf: Map[String, Long],
-                defaultDelayMs: Long): DataFrame = {
+                defaultDelayMs: Long, usePrio: Boolean = false): DataFrame = {
     import spark.implicits._
     val delayB = spark.sparkContext.broadcast(delayOf)
     val readyB = spark.sparkContext.broadcast(readyOf)
     val ds: Dataset[FrontierRow] =
-      df.select("url_canon", "url_hash", "host", "depth").as[FrontierRow]
+      df.select(col("url_canon"), col("url_hash"), col("host"), col("depth"),
+          (if (usePrio) col("prio") else lit(0)).as("prio"))
+        .as[FrontierRow]
     ds.groupByKey(_.host)
       .flatMapGroups { (host, it) =>
         implicit val ord: Ordering[FrontierRow] =
-          Ordering.by[FrontierRow, (Int, Long)](r => (r.depth, r.url_hash)).reverse
+          Ordering.by[FrontierRow, (Int, Int, Long)](r => (r.prio, r.depth, r.url_hash)).reverse
         val heap = scala.collection.mutable.PriorityQueue.empty[FrontierRow]
         it.foreach(heap.enqueue(_))
         val delay = delayB.value.getOrElse(host, defaultDelayMs)

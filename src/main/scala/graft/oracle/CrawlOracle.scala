@@ -32,6 +32,14 @@ final class CrawlOracle(corpus: CorpusGen.Corpus, cfg: CrawlConfig) {
 
   private final case class Entry(urlCanon: String, urlHash: Long, host: String, depth: Int)
 
+  /** [PINNED] per-URL priority under cfg.priorityByUrlLen: the
+    * canonical URL's length in Unicode CODE POINTS — exactly the
+    * engine's `length(url_canon)` (Spark's `length` counts code points
+    * on strings; Java's String.length counts UTF-16 units, so the
+    * mirror must use codePointCount). */
+  private def prioOf(urlCanon: String): Int =
+    urlCanon.codePointCount(0, urlCanon.length)
+
   def run(): OracleResult = run(None)
 
   /** Run with an optional mid-crawl host retire, mirroring the engine's
@@ -69,11 +77,14 @@ final class CrawlOracle(corpus: CorpusGen.Corpus, cfg: CrawlConfig) {
       val allowed = frontier.filter { e =>
         RobotsMatch.allows(rulesByHost.getOrElse(e.host, Seq.empty), UrlCanon.pathOf(e.urlCanon))
       }
-      // W1/W2 per-host schedule [PINNED order (depth, url_hash) signed asc]
+      // W1/W2 per-host schedule [PINNED order (depth, url_hash) signed
+      // asc; ((prio, depth, url_hash) under cfg.priorityByUrlLen)]
       val carried = Vector.newBuilder[Entry]
       val scheduled = mutable.ArrayBuffer.empty[(Entry, Int, Long)] // (entry, rn, fetch_ts)
       allowed.groupBy(_.host).foreach { case (host, es) =>
-        val sorted = es.sortBy(e => (e.depth, e.urlHash))
+        val sorted =
+          if (cfg.priorityByUrlLen) es.sortBy(e => (prioOf(e.urlCanon), e.depth, e.urlHash))
+          else es.sortBy(e => (e.depth, e.urlHash))
         val ready = hostReady.getOrElse(host, 0L)
         val delay = delayByHost.getOrElse(host, cfg.defaultDelayMs)
         sorted.zipWithIndex.foreach { case (e, i) =>

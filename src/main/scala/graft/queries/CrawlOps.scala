@@ -194,6 +194,24 @@ object CrawlOps {
         .orderBy("seq")
     }),
 
+    // E1 priority variant: the crawl under per-URL URL-length priority
+    // (CrawlConfig.priorityByUrlLen — the north star's "depth/priority"
+    // min-heap key with a real priority signal: shorter URLs fetch
+    // first within each host). Smoke tier + golden fixture, same wiring
+    // rationale as q37.
+    "q51_priority_crawl" -> ((s, dir) => {
+      val tier = CorpusGen.Smoke
+      val d = CorpusGen.ensure(s, tier)
+      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
+        .copy(priorityByUrlLen = true)
+      val engine = new CrawlEngine(s, d, s"target/crawl-run-prio/${tier.name}", cfg)
+      engine.runFresh()
+      engine.close()
+      engine.fetchLog()
+        .select("seq", "url_canon", "host", "depth", "round", "fetch_ts", "status", "doc_id")
+        .orderBy("seq")
+    }),
+
     // media-ref inventory: per (host, kind) asset counts off the media
     // spans — the data path q37 follows, SQL-expressible so the DuckDB
     // gate checks it directly at the Verify tier
@@ -339,6 +357,11 @@ object CrawlOps {
     "q37_media_crawl" ->
       s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
          |FROM read_parquet('$GOLD/q37_media_crawl.parquet/*.parquet')
+         |ORDER BY seq""".stripMargin,
+
+    "q51_priority_crawl" ->
+      s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
+         |FROM read_parquet('$GOLD/q51_priority_crawl.parquet/*.parquet')
          |ORDER BY seq""".stripMargin,
 
     "q38_media_refs" ->

@@ -165,6 +165,32 @@ class CrawlEngineSpec extends SparkTestBase {
     assert(collectLog(engine).forall(r => r._9 != "media"))
   }
 
+  test("priority crawl (URL-length priority) equals the sequential oracle exactly, all schedulers") {
+    val pCfg = cfg.copy(priorityByUrlLen = true)
+    val ePrio = new CrawlEngine(spark, fixtureDir, snapDir("prio"), pCfg)
+    ePrio.runFresh()
+    val got = collectLog(ePrio)
+    val want = new CrawlOracle(corpus, pCfg).run()
+    val wantLog = want.log.map(f =>
+      (f.seq, f.urlCanon, f.urlHash, f.host, f.depth, f.round, f.rn, f.fetchTs, f.status, f.docId))
+    assert(got.size == wantLog.size, s"sizes: got=${got.size} want=${wantLog.size}")
+    got.zip(wantLog).foreach { case (g, w) => assert(g == w, s"\n got=$g\nwant=$w") }
+    assert(collectSeen(ePrio) == want.seen)
+    // non-vacuous: the priority key must actually reorder the crawl —
+    // otherwise this test proves nothing beyond the default-path test
+    assert(got != collectLog(engine),
+      "priority crawl identical to the default crawl: the priority signal never fired")
+    // the window and typed-heap schedulers agree under priority too
+    val eWinP = new CrawlEngine(spark, fixtureDir, snapDir("prio-window"),
+      pCfg.copy(saltedScheduler = false))
+    eWinP.runFresh()
+    assert(collectLog(eWinP) == got)
+    val eHeapP = new CrawlEngine(spark, fixtureDir, snapDir("prio-heap"),
+      pCfg.copy(typedHeapScheduler = true))
+    eHeapP.runFresh()
+    assert(collectLog(eHeapP) == got)
+  }
+
   test("window, salted, and typed-heap schedulers produce identical crawls") {
     val eWindow = new CrawlEngine(spark, fixtureDir, snapDir("window"),
       cfg.copy(saltedScheduler = false))
