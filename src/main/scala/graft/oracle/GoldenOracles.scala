@@ -191,6 +191,56 @@ object GoldenOracles {
     }.flatten.toSeq
   }
 
+  // ---- q50: k-means (Lloyd to a centroid fixpoint) --------------------
+
+  final case class KmeansRow(vec_id: Long, cid: Int, d4: Double)
+
+  /** Sequential Lloyd model, [PINNED] semantics shared bit-for-bit with
+    * `VectorOps.kmeansCentroids`: q35's seeding rule (every 31st vec_id,
+    * first k, vec_id order), assignment = min (dist2, cid), element-wise
+    * mean through decimal-15 sums (order-independent, matching the
+    * engine's decimal(27,15) aggregation), empty cell keeps its previous
+    * centroid, stop on exact centroid-array fixpoint or maxIters. */
+  def kmeans(emb: Array[(Long, Array[Double])], k: Int = 8, maxIters: Int = 25)
+      : (Seq[KmeansRow], Array[(Int, Array[Double])], Int) = {
+    val dim = emb.head._2.length
+    var cents: Array[(Int, Array[Double])] = emb.filter(_._1 % 31 == 0)
+      .sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+    def assign(cs: Array[(Int, Array[Double])]): Map[Long, Int] =
+      emb.map { case (id, v) =>
+        id -> cs.map { case (cid, c) => (dist2(v, c), cid) }.min._2
+      }.toMap
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val a = assign(cents)
+      val byCell = emb.groupBy { case (id, _) => a(id) }
+      val next = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case None => (cid, old)
+          case Some(members) =>
+            val n = members.length
+            (cid, Array.tabulate(dim) { d =>
+              members.map { case (_, v) =>
+                JBigDecimal.valueOf(v(d)).setScale(15, RoundingMode.HALF_UP)
+              }.reduce(_.add(_)).doubleValue() / n
+            })
+        }
+      }
+      converged = next.zip(cents).forall { case ((_, x), (_, y)) =>
+        java.util.Arrays.equals(x, y) }
+      cents = next
+      iters += 1
+    }
+    val fin = assign(cents)
+    val centOf = cents.toMap
+    val rows = emb.sortBy(_._1).map { case (id, v) =>
+      val cid = fin(id)
+      KmeansRow(id, cid, round4(dist2(v, centOf(cid))))
+    }.toSeq
+    (rows, cents, iters)
+  }
+
   // ---- q36: embedding-cosine near-dup (LSH-bucketed candidates) -------
 
   final case class NearDupRow(vec_a: Long, vec_b: Long, cos4: Double)
@@ -300,6 +350,14 @@ object GoldenOracles {
         f.round, f.fetchTs, f.status, f.docId))
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q37_media_crawl.parquet")
 
+    // q51: the priority-scheduled crawl variant (smoke tier, like q37)
+    val prioCfg = graft.queries.CrawlOps.crawlConfigFor(
+      spark.sessionState.conf.numShufflePartitions, smoke).copy(priorityByUrlLen = true)
+    val prioRes = new CrawlOracle(CorpusGen.build(smoke), prioCfg).run()
+    prioRes.log.map(f => FetchRow(f.seq, f.urlCanon, f.host, f.depth,
+        f.round, f.fetchTs, f.status, f.docId))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q51_priority_crawl.parquet")
+
     val emb = loadEmbeddings(spark, sfDir)
     cosineTopK(emb).toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/q28_cosine_topk.parquet")
@@ -307,5 +365,9 @@ object GoldenOracles {
     annIvf(emb).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q35_ann_ivf.parquet")
     embedNearDup(emb).toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/q36_embed_neardup.parquet")
+    val (kmRows, kmCents, _) = kmeans(emb)
+    kmRows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q50_kmeans.parquet")
+    kmCents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/q50_centroids.parquet")
   }
 }

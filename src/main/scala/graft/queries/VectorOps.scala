@@ -145,6 +145,43 @@ object VectorOps {
         .orderBy("query_id", "rank")
     }),
 
+    // k-means (Lloyd) over the embeddings — the clustering step of
+    // semantic dedup / data curation (SemDeDup-style: cluster, then
+    // dedup/prune within clusters) and the real trainer behind q35's
+    // one-step IVF coarse quantizer. Iterative discipline: centroids are
+    // K×dim doubles — the ONLY thing that ever collects — so each Lloyd
+    // step is ONE job over the cached embeddings (codegen
+    // nearest_centroid assignment + a partial-aggregating groupBy);
+    // plans stay constant-size because the loop state lives in the
+    // centroid literals, not in a growing DataFrame lineage. Element-wise
+    // means go through decimal(27,15), making them shuffle-order-
+    // independent — the whole run is bit-reproducible, which is what
+    // lets an independent sequential model (GoldenOracles.kmeans) pin
+    // the output EXACTLY while DuckDB independently re-verifies the
+    // distances and the argmin property within tolerance. Convergence =
+    // centroid-array fixpoint (exact double equality, driver-side,
+    // free), maxIters backstop [PINNED: both mirrored in the golden
+    // model; an empty cell keeps its previous centroid].
+    "q50_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val K = 8; val MaxIters = 25
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .persist()
+      emb.count() // materialize once; every Lloyd step re-scans this cache
+      val (cents, _) = kmeansCentroids(emb, K, MaxIters)
+      val cdf = cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      val out = emb.withColumn("cid", nearest_centroid(col("v"), cents))
+        .join(broadcast(cdf), Seq("cid"))
+        .withColumn("d4", round(vec_dist2(col("v"), col("c")), 4))
+        .select("vec_id", "cid", "d4")
+        .orderBy("vec_id")
+        .persist()
+      out.count()
+      emb.unpersist(false)
+      out
+    }),
+
     // embedding-cosine near-duplicate detection, LSH-bucketed: the
     // candidate set comes from 4×6-bit random-hyperplane bucket
     // collisions (equi-join — no all-pairs cross join at scale), then
@@ -201,6 +238,40 @@ object VectorOps {
     }),
   )
 
+  /** Lloyd k-means to a centroid fixpoint (or maxIters). Seeds: every
+    * 31st vec_id, first k, in vec_id order — the q35 seeding rule.
+    * `emb` must be (vec_id, v: array<double>) and should be cached by
+    * the caller (each iteration scans it exactly once). Semantics
+    * [PINNED, mirrored bit-for-bit in GoldenOracles.kmeans]: assignment
+    * = min (dist2, cid); mean = Σ decimal(27,15) → double, / count;
+    * empty cell keeps its previous centroid; stop when the centroid
+    * array repeats exactly or after maxIters. */
+  private[graft] def kmeansCentroids(emb: DataFrame, k: Int, maxIters: Int)
+      : (Array[(Int, Array[Double])], Int) = {
+    var cents: Array[(Int, Array[Double])] =
+      emb.filter(col("vec_id") % 31 === 0)
+        .orderBy("vec_id").limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val means: Map[Int, Array[Double]] =
+        emb.withColumn("cid", nearest_centroid(col("v"), cents))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg((sum(col("x").cast("decimal(27,15)")).cast("double") / count(lit(1))).as("x"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+          .select(col("cid"), transform(col("px"), p => p.getField("x")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val next = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      converged = next.zip(cents).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) }
+      cents = next
+      iters += 1
+    }
+    (cents, iters)
+  }
+
   /** Golden fixtures from the independent plain-Scala ANN model
     * (graft.oracle.GoldenOracles), written during Verify. Single-sourced
     * path (pinned to the correctness tier — Verify runs at sf0.01). */
@@ -222,6 +293,34 @@ object VectorOps {
       s"""SELECT vec_a, vec_b, cos4
          |FROM read_parquet('$GOLD/q36_embed_neardup.parquet/*.parquet')
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // EXACT assignment/distance comes from the golden fixture
+    // (GoldenOracles.kmeans — an independent sequential Lloyd model);
+    // DuckDB independently re-verifies every row with its own list
+    // arithmetic: the assigned distance matches d4 within rounding
+    // tolerance AND no other centroid is closer (the argmin property) —
+    // a failing check drops rows → red row-count gate. Same two-sided
+    // scheme as q28 (golden ordering + independent value check).
+    "q50_kmeans" ->
+      // cross join g × centroids (K rows per vec) then MIN per vec: the
+      // natural correlated-subquery form binds "e" inside a list lambda,
+      // which DuckDB 1.0 cannot correlate (Binder Error)
+      s"""WITH g AS (SELECT vec_id, cid, d4
+         |  FROM read_parquet('$GOLD/q50_kmeans.parquet/*.parquet')),
+         |c AS (SELECT cid, c FROM read_parquet('$GOLD/q50_centroids.parquet/*.parquet')),
+         |dists AS (
+         |  SELECT g.vec_id, g.cid, g.d4, c2.cid AS ocid,
+         |    list_sum(list_transform(range(1, len(c2.c) + 1),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - c2.c[i]) ^ 2)) AS d
+         |  FROM g JOIN embeddings e ON e.vec_id = g.vec_id CROSS JOIN c c2),
+         |chk AS (
+         |  SELECT vec_id, cid, d4,
+         |    MIN(CASE WHEN ocid = cid THEN d END) AS dassign,
+         |    MIN(d) AS dmin
+         |  FROM dists GROUP BY vec_id, cid, d4)
+         |SELECT vec_id, cid, d4 FROM chk
+         |WHERE abs(d4 - dassign) <= 1e-2 AND dassign <= dmin + 1e-6
+         |ORDER BY vec_id""".stripMargin,
 
     // RANK ordering comes from the golden fixture (GoldenOracles
     // .cosineTopK): the rank orders by the UNROUNDED cosine, and

@@ -70,4 +70,27 @@ class LshAnnSpec extends SparkTestBase {
     assert(ivf.nonEmpty)
     assert(recall >= 0.10, f"IVF recall degraded: $recall%.3f")
   }
+
+  test("q50 k-means: engine assignment equals the sequential Lloyd model exactly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val (goldRows, goldCents, iters) = graft.oracle.GoldenOracles.kmeans(emb)
+    info(s"sequential Lloyd converged after $iters iterations " +
+      s"(maxIters 25, ${goldCents.length} centroids)")
+    // the model must produce a non-trivial clustering for the pin to
+    // mean anything: several clusters in use, none holding everything
+    val sizes = goldRows.groupBy(_.cid).view.mapValues(_.size).toMap
+    assert(sizes.size > 1, s"degenerate clustering: $sizes")
+    assert(sizes.values.max < emb.length, s"one cluster swallowed all rows: $sizes")
+    val df = SparkEntry.queries("q50_kmeans")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    df.unpersist(false)
+    val want = goldRows.map(r => (r.vec_id, r.cid, r.d4))
+    assert(got == want, {
+      val diff = got.zip(want).filter { case (a, b) => a != b }.take(5)
+      s"engine≠model on ${diff.size}+ rows, first: $diff"
+    })
+  }
 }
