@@ -291,11 +291,34 @@ object ClusterCheck {
         graft.oracle.RankOracle.rank(edgeSeq, 10, 0.85),
         s"hostRank under local-cluster[$executors,$coresPer]")
 
+      // hostComponents under multi-JVM: the large-star/small-star loop's
+      // state rides cached-RDD blocks that live in the forked executor
+      // JVMs (and are read back every round); verify against a driver-
+      // side union-find over the same collected edges.
+      val compDf = graft.queries.GraphOps.hostComponents(edgesDf)
+      val gotComp = compDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      compDf.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val wantComp = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct
+        .map(h => h -> find(h)).toMap
+      require(gotComp == wantComp,
+        s"hostComponents diverged under local-cluster[$executors,$coresPer]: " +
+          s"got ${gotComp.size} labels, want ${wantComp.size}; first diff: " +
+          s"${(gotComp.toSet diff wantComp.toSet).take(3)}")
+
       println(s"CLUSTER-CHECK OK executors=$executors coresPer=$coresPer " +
         s"fetched=$fetched seen=$seen retire_resume_seen=${got2Seen.size} " +
         s"media_fetched=$fetchedM media_seen=$seenM " +
         s"logmode_fetched=$fetchedL logmode_seen=$seenL " +
-        s"rank_hosts=${gotRank.size}")
+        s"rank_hosts=${gotRank.size} comp_hosts=${gotComp.size}")
     } finally spark.stop()
   }
 

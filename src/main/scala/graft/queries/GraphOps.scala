@@ -354,49 +354,112 @@ object GraphOps {
     val spark = edges.sparkSession
     withLoopConfs(spark, pairs) { loopParts =>
       // both directions are present, so the a-side alone covers every
-      // host; identity edges make the neighbor pass self-inclusive
+      // host (incl. hosts whose only edge is a self-loop)
       val hosts = und0.select(col("a").as("host")).distinct()
         .repartition(loopParts, col("host")).persist()
-      val und = und0.select(col("a"), col("b"))
-        .union(hosts.select(col("host").as("a"), col("host").as("b")))
-        .repartition(loopParts, col("a")).persist()
-      val n = hosts.count()
-      und.count()
-      und0.unpersist(false)
+      hosts.count()
 
-      var lab = hosts.withColumn("label", col("host")).persist()
-      lab.count()
+      // ---- iteration-state truncation -------------------------------
+      // Loop state rides an explicit RDD round-trip (cache the Row RDD,
+      // rebuild a DataFrame over it) rather than persist/fromCache or
+      // localCheckpoint. Both alternatives were MEASURED to explode:
+      //  - a cached frame is not an opaque leaf (InMemoryRelation embeds
+      //    its cachedPlan and plan canonicalization walks into it), so
+      //    any round that references its predecessor twice doubles the
+      //    embedded chain per round — 0.6 -> 66 s/round by round 13 on
+      //    the sf0.1 near-dup pair graph;
+      //  - Dataset.localCheckpoint truncates the tree but PRESERVES the
+      //    origin plan's sizeInBytes stats, and the size estimate of a
+      //    join is the PRODUCT of its children's — so the carried stat
+      //    multiplies every round and the driver ends up doing BigInt
+      //    arithmetic on million-digit numbers inside
+      //    SizeInBytesOnlyStatsPlanVisitor (thread-dumped: 29 s of
+      //    BigInteger.multiplyToomCook3 with zero jobs running).
+      // createDataFrame over the cached RDD starts from fresh default
+      // stats every round: per-round driver cost is flat. Trade
+      // [documented]: cached-RDD blocks lost with an executor are
+      // recomputed through RDD lineage (slow path, still exact); on a
+      // multi-node production cluster a reliable checkpoint dir is the
+      // better anchor. No SQL-cache entries are created (the cache-leak
+      // gate sees nothing); the backing RDDs are unpersisted on exit.
+      var liveRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      def truncate(df: DataFrame): DataFrame = {
+        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        liveRdds = rdd :: liveRdds
+        spark.createDataFrame(rdd, df.schema)
+      }
+
+      // ---- alternating large-star / small-star ----------------------
+      // (Kiveris et al., "Connected Components in MapReduce and
+      // Beyond") — replaces round-3/4 min-label propagation, whose
+      // round count is the graph DIAMETER: the sf0.1 near-dup pair
+      // graph (18 844 pairs) has transitive-similarity chains of
+      // diameter ~34, and a web-scale corpus only grows them. Star
+      // contraction converges in O(log^2 n) rounds (a handful in
+      // practice) with intermediate edge sets bounded LINEAR in the
+      // input — the 100 TB shape the old scaladoc deferred to. Both
+      // phases keep the exact component-min contract: every emitted
+      // edge links two already-connected nodes, connectivity is
+      // preserved, and the fixpoint is a star forest whose center is
+      // the component minimum under the column type's ordering (string
+      // for hosts, numeric for q47's doc ids).
+      // Canonical orientation invariant: every edge row keeps u > v.
+      var e = truncate(und0.filter(col("a") > col("b"))
+        .select(col("a").as("u"), col("b").as("v")).distinct())
+      var eCnt = e.count()
+      und0.unpersist(false)
       var it = 0
-      var changed = n // any nonzero sentinel
-      while (changed != 0) {
+      // a graph of only self-loops has no work: every host is its own
+      // star center
+      var stars = eCnt == 0L
+      val trace = sys.env.contains("GRAFT_TRACE")
+      while (!stars) {
+        val tIt = System.nanoTime()
         it += 1
         if (it > maxIters) throw new IllegalStateException(
-          s"hostComponents: no fixpoint after $maxIters iterations " +
-            "(graph diameter exceeds the budget); raise maxIters")
-        val cur = org.apache.spark.sql.graftinternal.Shim.fromCache(lab)
-        val next = cur
-          .withColumnRenamed("host", "a")
-          .join(und, Seq("a"))
-          .groupBy(col("b").as("host")).agg(min(col("label")).as("label"))
-          .persist()
-        // exact convergence check doubling as the materializing action;
-        // co-partitioned on host → no exchange
-        changed = next
-          .join(cur.withColumnRenamed("label", "prev"), Seq("host"))
-          .agg(sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)))
-          .first() match {
-            case r if r.isNullAt(0) => 0L
-            case r                  => r.getLong(0)
-          }
-        lab.unpersist(false)
-        lab = next
+          s"hostComponents: no star fixpoint after $maxIters rounds; raise maxIters")
+        // large-star: every node u links its LARGER neighbors to
+        // m(u) = min(neighborhood(u) + u). m(u) <= u < v keeps u > v.
+        val sym = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val mL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val e1 = truncate(sym.filter(col("v") > col("u")).join(mL, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct())
+        // small-star: every node u links its smaller neighbors (and
+        // itself) to m(u) = min of the smaller neighborhood. Input is
+        // canonically oriented, so the grouped v-side IS the smaller
+        // neighborhood; m <= every emitted left side keeps u > v.
+        val mS = e1.groupBy("u").agg(min(col("v")).as("m"))
+        val e2 = truncate(e1.join(mS, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mS.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct())
+        val c2 = e2.count()
+        // converged iff the edge set is a star forest: no edge's center
+        // (v, the smaller endpoint) is itself a satellite elsewhere.
+        // Star graphs are fixpoints of both phases, so stopping here is
+        // stopping at the true fixpoint.
+        val nonStar = e2.join(e2.select(col("u").as("v")).distinct(),
+          Seq("v"), "left_semi").count()
+        stars = nonStar == 0L
+        e = e2
+        eCnt = c2
+        if (trace) System.err.println(
+          f"[components] round $it%d edges $c2%d nonstar $nonStar%d " +
+            f"${(System.nanoTime() - tIt) / 1e9}%.2f s")
       }
-      val out = lab.select(col("host"), col("label").as("component"))
+      // star forest -> labels: satellites take their center, centers and
+      // isolated hosts label themselves
+      val out = hosts
+        .join(e.select(col("u").as("host"), col("v").as("component")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("component"), col("host")).as("component"))
         .persist()
       out.count()
-      lab.unpersist(false)
       hosts.unpersist(false)
-      und.unpersist(false)
+      liveRdds.foreach(_.unpersist(false))
       out
     }
   }
