@@ -212,6 +212,37 @@ object CrawlOps {
         .orderBy("seq")
     }),
 
+    // corpus packing / training-set export: materialize each fetchable
+    // (status ok) document as one training row — text spans joined in
+    // span order, media refs preserved as an ordered sidecar column,
+    // token count for mixture/packing accounting. The step that turns a
+    // crawl's output into model input. Span order is the [PINNED]
+    // per-row invariant, so packing uses ORDER-PRESERVING higher-order
+    // functions over the spans array (a per-row map — no explode, no
+    // shuffle, no collect_list whose assembly order is undefined); the
+    // only join is the broadcast-sized ok-docs semi-join. Map-only at
+    // 100 TB.
+    "q53_pack_corpus" -> ((s, dir) => {
+      val d = fx(s, dir)
+      val textCol = array_join(
+        transform(filter(col("spans"), x => x.getField("kind") === "text"),
+          x => x.getField("text")), "\n")
+      val mediaArr = filter(col("spans"),
+        x => x.getField("kind") =!= "text" && x.getField("media_ref") =!= "")
+      val okDocs = CorpusGen.hosting(s, d)
+        .filter(col("status") === "ok").select("doc_id").distinct()
+      CorpusGen.interleaved(s, d)
+        .join(okDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), textCol.as("text"),
+          size(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
+            .as("n_tokens"),
+          size(mediaArr).as("n_media"),
+          array_join(transform(filter(col("spans"),
+              x => x.getField("kind") =!= "text"),
+            x => x.getField("media_ref")), "|").as("media_refs"))
+        .orderBy("doc_id")
+    }),
+
     // media-ref inventory: per (host, kind) asset counts off the media
     // spans — the data path q37 follows, SQL-expressible so the DuckDB
     // gate checks it directly at the Verify tier
@@ -363,6 +394,25 @@ object CrawlOps {
       s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
          |FROM read_parquet('$GOLD/q51_priority_crawl.parquet/*.parquet')
          |ORDER BY seq""".stripMargin,
+
+    "q53_pack_corpus" ->
+      s"""WITH sp AS (SELECT doc_id, spans
+         |  FROM read_parquet('$FX/interleaved.parquet/*.parquet')),
+         |packed AS (SELECT doc_id,
+         |  array_to_string(list_transform(list_filter(spans, x -> x.kind = 'text'),
+         |    x -> x.text), chr(10)) AS text,
+         |  CAST(len(list_filter(spans,
+         |    x -> x.kind <> 'text' AND x.media_ref <> '')) AS INT) AS n_media,
+         |  array_to_string(list_transform(list_filter(spans, x -> x.kind <> 'text'),
+         |    x -> x.media_ref), '|') AS media_refs
+         | FROM sp),
+         |ok AS (SELECT DISTINCT doc_id
+         |  FROM read_parquet('$FX/hosting.parquet/*.parquet') WHERE status = 'ok')
+         |SELECT p.doc_id, p.text,
+         |  CAST(len(regexp_extract_all(lower(p.text), '[a-z0-9]+')) AS INT) AS n_tokens,
+         |  p.n_media, p.media_refs
+         |FROM packed p JOIN ok USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     "q38_media_refs" ->
       // hostOf stops at '/', ':' or '?' after the scheme — corpus media

@@ -375,6 +375,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // word-frequency quality score — the cheap LM-perplexity proxy
+    // (CCNet-style): a document's score is the mean log10 corpus
+    // frequency of its words. Rare-word-heavy docs (garbled text, code
+    // dumps, boilerplate IDs) score low; ordinary prose scores high.
+    // Determinism across engines [PINNED]: each per-word log10 is
+    // quantized to decimal(20,10) BEFORE summing — decimal sums are
+    // exact and shuffle-order-independent, so engine and DuckDB produce
+    // bit-identical sums as long as their log10s agree within 5e-11 (C
+    // and Java log10 are both faithfully rounded; corpus counts are
+    // small ints). Scale shape: vocab = one map-side-combined groupBy;
+    // score = shuffle equi-join on the word + per-doc hash agg — no
+    // broadcast of the vocab needed (at 100 TB the vocabulary is
+    // itself large).
+    "q54_wordfreq_score" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+      w.join(vocab, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          (sum(log10(col("c").cast("double")).cast("decimal(20,10)")).cast("double")
+            / count(lit(1))).as("avg_raw"))
+        .select(col("doc_id"), col("n").cast("int").as("n_scored"),
+          round(col("avg_raw"), 4).as("logfreq4"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark DECONTAMINATION — the training-data hygiene op: flag
     // training documents that share n-gram windows with a held-out
     // evaluation set (n-gram-overlap decontamination, the GPT-3/Gopher
@@ -619,6 +646,17 @@ object TextOps {
         |  CASE WHEN COALESCE(a5.g5_n, 0) = 0 THEN 0.0
         |       ELSE round(a5.g5_dup * 1.0 / a5.g5_n, 4) END AS dup5_frac
         |FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q54_wordfreq_score" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
+        |  round(CAST(SUM(CAST(log10(CAST(c AS DOUBLE)) AS DECIMAL(20,10))) AS DOUBLE)
+        |        / COUNT(*), 4) AS logfreq4
+        |FROM w JOIN vocab USING (w)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q52_decontaminate" ->
