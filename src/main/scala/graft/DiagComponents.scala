@@ -33,7 +33,7 @@ object DiagComponents {
     })
     val tick = new java.util.concurrent.atomic.AtomicBoolean(true)
     val mainThread = Thread.currentThread()
-    new Thread(() => {
+    val ticker = new Thread(() => {
       var lastJobs = -1
       var static = 0
       while (tick.get()) {
@@ -48,7 +48,9 @@ object DiagComponents {
         }
         Thread.sleep(2000)
       }
-    }).start()
+    })
+    ticker.setDaemon(true) // must not pin the JVM if the loop throws
+    ticker.start()
     val t1 = System.nanoTime()
     val comps = graft.queries.GraphOps.hostComponents(
       pairs.select(col("doc_a").as("src_host"), col("doc_b").as("dst_host")))

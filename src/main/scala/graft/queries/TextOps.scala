@@ -375,6 +375,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // sequence packing — the GPT-style concat-then-split step: documents
+    // are concatenated in doc_id order and split into fixed-token-budget
+    // training sequences; each doc gets its global token offset, its
+    // sequence id and its offset within that sequence. The global offset
+    // is a DISTRIBUTED TWO-PHASE PREFIX SUM (the Scheduler.salted
+    // offsets pattern): a within-bucket running sum over
+    // bucket = doc_id/64 partitions plus a cumulative bucket-offset
+    // table (one row per bucket). The OUTPUT is invariant to the bucket
+    // width — W only shapes the decomposition — so at 10^10 docs W is
+    // simply raised (or the same trick applied to the bucket table
+    // recursively) to keep the offsets window one small task; no global
+    // single-partition pass ever touches the doc-level rows.
+    "q55_seq_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024L // token budget per packed sequence [PINNED]
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bkt", floor(col("doc_id") / lit(64)).cast("long"))
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fine = d.withColumn("run_in", coalesce(sum("n_tok").over(wIn), lit(0L)))
+      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(wB), lit(0L)))
+        .select("bkt", "off")
+      fine.join(offsets, Seq("bkt"))
+        .withColumn("start_tok", col("off") + col("run_in"))
+        .select(col("doc_id"), col("n_tok"), col("start_tok"),
+          floor(col("start_tok") / lit(B)).cast("long").as("seq_id"),
+          (col("start_tok") % lit(B)).as("seq_off"))
+        .orderBy("doc_id")
+    }),
+
     // word-frequency quality score — the cheap LM-perplexity proxy
     // (CCNet-style): a document's score is the mean log10 corpus
     // frequency of its words. Rare-word-heavy docs (garbled text, code
@@ -647,6 +680,19 @@ object TextOps {
         |       ELSE round(a5.g5_dup * 1.0 / a5.g5_n, 4) END AS dup5_frac
         |FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q55_seq_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok // 1024 AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 1024 AS BIGINT) AS seq_off
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q54_wordfreq_score" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
