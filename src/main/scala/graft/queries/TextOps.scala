@@ -118,6 +118,39 @@ object TextOps {
       |    ELSE [array_to_string(ws, ' ')] END AS shingles
       | FROM w)""".stripMargin
 
+  /** The [PINNED] q49 sampling rule over a (doc_id, lang) frame —
+    * single-sourced between q49 and the composed pipeline q56. Per-10
+    * keep rates: en 9, de/fr/es 6, zh 3, anything else 2; membership =
+    * integer compare u₅₆·10 < num·2⁵⁶ on the first 56 md5 bits of
+    * "mix42_"‖doc_id (no float boundary); weight = 1/rate. */
+  private def mixtureSample(docs: DataFrame): DataFrame = {
+    val u56 = conv(substring(
+      md5(concat(lit("mix42_"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val num = when(col("lang") === "en", 9)
+      .when(col("lang").isin("de", "fr", "es"), 6)
+      .when(col("lang") === "zh", 3)
+      .otherwise(2).cast("long")
+    docs
+      .select(col("doc_id"), col("lang"), u56.as("u"), num.as("num"))
+      .filter(col("u") * lit(10L) < col("num") * lit(72057594037927936L)) // 2^56
+      .withColumn("weight", round(lit(10.0) / col("num"), 4))
+      .select("doc_id", "lang", "weight")
+      .orderBy("doc_id")
+  }
+
+  /** The q49 sampling rule's SQL mirror over a source providing
+    * (doc_id, lang) — parameterized by the source subquery. */
+  private def mixtureSampleSql(source: String): String =
+    s"""SELECT doc_id, lang, round(10.0 / num, 4) AS weight FROM (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5('mix42_' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS u,
+       |    CASE WHEN lang = 'en' THEN 9 WHEN lang IN ('de','fr','es') THEN 6
+       |         WHEN lang = 'zh' THEN 3 ELSE 2 END AS num
+       |  FROM ($source))
+       |WHERE u * 10 < num * 72057594037927936
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // token counting (whitespace + alnum-word grammar)
@@ -357,23 +390,8 @@ object TextOps {
     // under corpus repartition/reorder. `weight` = 1/rate is the
     // importance weight downstream loss accounting needs. At 100 TB this
     // is a map-only filter — no shuffle, no sketch, no stored state.
-    "q49_mixture_sample" -> ((s, dir) => {
-      val u56 = conv(substring(
-        md5(concat(lit("mix42_"), col("doc_id").cast("string"))), 1, 14), 16, 10)
-        .cast("long")
-      // per-10 keep rates [PINNED, mirrored in SQL]: en 9, de/fr/es 6,
-      // zh 3, anything else 2
-      val num = when(col("lang") === "en", 9)
-        .when(col("lang").isin("de", "fr", "es"), 6)
-        .when(col("lang") === "zh", 3)
-        .otherwise(2).cast("long")
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), u56.as("u"), num.as("num"))
-        .filter(col("u") * lit(10L) < col("num") * lit(72057594037927936L)) // 2^56
-        .withColumn("weight", round(lit(10.0) / col("num"), 4))
-        .select("doc_id", "lang", "weight")
-        .orderBy("doc_id")
-    }),
+    "q49_mixture_sample" -> ((s, dir) =>
+      mixtureSample(t(s, dir, "documents").select("doc_id", "lang"))),
 
     // sequence packing — the GPT-style concat-then-split step: documents
     // are concatenated in doc_id order and split into fixed-token-budget
@@ -486,6 +504,27 @@ object TextOps {
       out.count()
       comps.unpersist(false)
       pairsDf.unpersist(false)
+      out
+    }),
+
+    // the composed CURATION PIPELINE endpoint: near-dup removal (q47's
+    // verified clusters — one representative per cluster survives) then
+    // deterministic mixture sampling (the q49 rule) over what remains.
+    // Demonstrates the ops composing the way a real pipeline runs them:
+    // dedup feeds sampling; every stage is the same single-sourced code
+    // the standalone queries gate. Synthetic dup rows (doc_id ≥ 10⁶)
+    // exist only inside the dedup universe and never reach the sample.
+    "q56_curated_sample" -> ((s, dir) => {
+      val clusters = queries("q47_dedup_clusters")(s, dir) // persisted; ours to release
+      val drops = clusters
+        .filter(!col("keep") && col("doc_id") < 1000000L)
+        .select("doc_id")
+      val out = mixtureSample(
+        t(s, dir, "documents").select("doc_id", "lang")
+          .join(drops, Seq("doc_id"), "left_anti"))
+        .persist()
+      out.count()
+      clusters.unpersist(false)
       out
     }),
 
@@ -722,13 +761,27 @@ object TextOps {
         |ORDER BY e.doc_id""".stripMargin,
 
     "q49_mixture_sample" ->
-      """SELECT doc_id, lang, round(10.0 / num, 4) AS weight FROM (
-        |  SELECT doc_id, lang,
-        |    CAST('0x' || substr(md5('mix42_' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS u,
-        |    CASE WHEN lang = 'en' THEN 9 WHEN lang IN ('de','fr','es') THEN 6
-        |         WHEN lang = 'zh' THEN 3 ELSE 2 END AS num
-        |  FROM documents)
-        |WHERE u * 10 < num * 72057594037927936
-        |ORDER BY doc_id""".stripMargin,
+      mixtureSampleSql("SELECT doc_id, lang FROM documents"),
+
+    // q56: the composed curation endpoint — q47's cluster closure
+    // (verbatim CTEs over the single-sourced q25 pair SQL) drops
+    // non-representative near-dups, then the q49 sampling rule
+    // (single-sourced mixtureSampleSql) draws the mixture
+    "q56_curated_sample" ->
+      s"""WITH RECURSIVE p AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ($q25PairsSql)),
+         |und AS MATERIALIZED (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM p),
+         |r(d, label) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT u.b, r.label FROM r JOIN und u ON u.a = r.d),
+         |comp AS (SELECT d AS doc_id, MIN(label) AS cluster FROM r GROUP BY d),
+         |drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster AND doc_id < 1000000),
+         |base AS (SELECT doc_id, lang FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+         |${mixtureSampleSql("SELECT doc_id, lang FROM base")}""".stripMargin,
   )
 }

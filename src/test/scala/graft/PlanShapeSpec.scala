@@ -231,7 +231,8 @@ class PlanShapeSpec extends SparkTestBase {
     // That is lineage truncation for an iterative fixpoint, not an
     // RDD-operator hot path — everything inside each round is DataFrame
     // joins/aggregates.
-    val excepted = Set("q09_crawl", "q46_host_components", "q47_dedup_clusters")
+    val excepted = Set("q09_crawl", "q46_host_components", "q47_dedup_clusters",
+      "q56_curated_sample") // composes q47's cluster output (same RDD leaf)
     val offenders = SparkEntry.queries.keys.filterNot(excepted).filter { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
       p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")
