@@ -404,6 +404,7 @@ object GraphOps {
       // the component minimum under the column type's ordering (string
       // for hosts, numeric for q47's doc ids).
       // Canonical orientation invariant: every edge row keeps u > v.
+      try {
       var e = truncate(und0.filter(col("a") > col("b"))
         .select(col("a").as("u"), col("b").as("v")).distinct())
       var eCnt = e.count()
@@ -458,9 +459,15 @@ object GraphOps {
         .select(col("host"), coalesce(col("component"), col("host")).as("component"))
         .persist()
       out.count()
-      hosts.unpersist(false)
-      liveRdds.foreach(_.unpersist(false))
       out
+      // the throw path (maxIters) must release the loop's RDD blocks
+      // too — unpersisting AFTER out materializes is always safe (reads
+      // hit out's SQL cache; a recompute walks RDD lineage, slower but
+      // exact)
+      } finally {
+        hosts.unpersist(false)
+        liveRdds.foreach(_.unpersist(false))
+      }
     }
   }
 

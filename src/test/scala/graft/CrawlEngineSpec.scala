@@ -189,6 +189,13 @@ class CrawlEngineSpec extends SparkTestBase {
       pCfg.copy(typedHeapScheduler = true))
     eHeapP.runFresh()
     assert(collectLog(eHeapP) == got)
+    // skinny scheduling projects the frontier down to key columns before
+    // the scheduler — the one path where a missing prio column would
+    // only surface at runtime
+    val eSkinnyP = new CrawlEngine(spark, fixtureDir, snapDir("prio-skinny"),
+      pCfg.copy(skinnySchedule = true))
+    eSkinnyP.runFresh()
+    assert(collectLog(eSkinnyP) == got)
   }
 
   test("window, salted, and typed-heap schedulers produce identical crawls") {
