@@ -151,6 +151,30 @@ object TextOps {
        |WHERE u * 10 < num * 72057594037927936
        |ORDER BY doc_id""".stripMargin
 
+  /** q55's packing over a (doc_id, n_tok) frame. `bucketWidth` shapes
+    * only the two-phase decomposition — the OUTPUT is invariant to it
+    * (pinned by a QueriesSpec test at two widths), which is exactly the
+    * scale claim: at 10^10 docs the width is raised (or the trick
+    * recursed on the bucket table) without changing a single row. */
+  private[graft] def seqPacking(docs: DataFrame, bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1024L // token budget per packed sequence [PINNED]
+    val d = docs.withColumn("bkt", floor(col("doc_id") / lit(bucketWidth)).cast("long"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fine = d.withColumn("run_in", coalesce(sum("n_tok").over(wIn), lit(0L)))
+    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wB), lit(0L)))
+      .select("bkt", "off")
+    fine.join(offsets, Seq("bkt"))
+      .withColumn("start_tok", col("off") + col("run_in"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        floor(col("start_tok") / lit(B)).cast("long").as("seq_id"),
+        (col("start_tok") % lit(B)).as("seq_off"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // token counting (whitespace + alnum-word grammar)
@@ -405,26 +429,9 @@ object TextOps {
     // simply raised (or the same trick applied to the bucket table
     // recursively) to keep the offsets window one small task; no global
     // single-partition pass ever touches the doc-level rows.
-    "q55_seq_packing" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val B = 1024L // token budget per packed sequence [PINNED]
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
-        .withColumn("bkt", floor(col("doc_id") / lit(64)).cast("long"))
-      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val fine = d.withColumn("run_in", coalesce(sum("n_tok").over(wIn), lit(0L)))
-      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
-        .withColumn("off", coalesce(sum("tot").over(wB), lit(0L)))
-        .select("bkt", "off")
-      fine.join(offsets, Seq("bkt"))
-        .withColumn("start_tok", col("off") + col("run_in"))
-        .select(col("doc_id"), col("n_tok"), col("start_tok"),
-          floor(col("start_tok") / lit(B)).cast("long").as("seq_id"),
-          (col("start_tok") % lit(B)).as("seq_off"))
-        .orderBy("doc_id")
-    }),
+    "q55_seq_packing" -> ((s, dir) =>
+      seqPacking(t(s, dir, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok")))),
 
     // word-frequency quality score — the cheap LM-perplexity proxy
     // (CCNet-style): a document's score is the mean log10 corpus

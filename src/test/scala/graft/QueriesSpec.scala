@@ -51,6 +51,19 @@ class QueriesSpec extends SparkTestBase {
     assert(crawlConfigFor(2, CorpusGen.Smoke).partitions == 2)
   }
 
+  test("q55 packing output is invariant to the prefix-sum bucket width (the scale knob)") {
+    import graft.queries.TextOps
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"))
+    val a = TextOps.seqPacking(d, 64L).collect().toSeq
+    val b = TextOps.seqPacking(d, 7L).collect().toSeq
+    val c = TextOps.seqPacking(d, 100000L).collect().toSeq // one bucket: plain cumsum
+    assert(a == b && a == c, "seq packing changed with the bucket width")
+    assert(a.nonEmpty)
+  }
+
   test("exact-dup pairs all surface in q25 LSH output") {
     import spark.implicits._
     val pairs = SparkEntry.queries("q25_lsh_pairs")(spark, dir)
