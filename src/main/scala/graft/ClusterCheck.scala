@@ -296,8 +296,16 @@ object ClusterCheck {
       // JVMs (and are read back every round); verify against a driver-
       // side union-find over the same collected edges.
       val compDf = graft.queries.GraphOps.hostComponents(edgesDf)
-      val gotComp = compDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val compRows = compDf.collect().map(r => r.getString(0) -> r.getString(1))
       compDf.unpersist(false)
+      val gotComp = compRows.toMap
+      // duplicate host rows are exactly what a premature star-forest
+      // stop would emit — toMap would silently collapse them, so fail
+      // loudly on the row count first
+      require(compRows.length == gotComp.size,
+        s"hostComponents emitted duplicate host rows under " +
+          s"local-cluster[$executors,$coresPer]: ${compRows.length} rows, " +
+          s"${gotComp.size} distinct hosts")
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
         val p = parent.getOrElse(x, x)

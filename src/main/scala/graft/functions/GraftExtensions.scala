@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalizeUrl, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, NgramHashes, PathOf, RhpSig, SimHash32}
+import graft.functions.{BpeEncodeWords, CanonicalizeUrl, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, NgramHashes, PathOf, RhpSig, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Pmod, XxHash64}
@@ -144,6 +144,10 @@ object GraftExtensions {
       args => {
         arity("graft_ngram_hashes", args, 2)
         NgramHashes(args.head, constInt("graft_ngram_hashes", "n", args(1)))
-      })
+      }),
+    (FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(words) - subword (BPE) token ids for an ARRAY<STRING> word column, one codegen pass over the pinned merges fixture."),
+      args => { arity("graft_bpe_encode", args, 1); BpeEncodeWords(args.head) })
   )
 }

@@ -84,4 +84,9 @@ package object functions {
     * for substring-level duplicate detection — see [[TextExpressions]]. */
   def ngram_hashes(words: Column, n: Int): Column =
     Shim.col(NgramHashes(Shim.expr(words), n))
+
+  /** Subword (BPE) token ids for a word array, one codegen pass over
+    * the pinned merges fixture — see [[Bpe]] for the encode contract. */
+  def bpe_encode_words(words: Column): Column =
+    Shim.col(BpeEncodeWords(Shim.expr(words)))
 }

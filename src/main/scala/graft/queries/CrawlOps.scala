@@ -236,6 +236,11 @@ object CrawlOps {
         .select(col("doc_id"), textCol.as("text"),
           size(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
             .as("n_tokens"),
+          // round 5: export accounting additionally denominated in BPE
+          // subword tokens (the pinned merges fixture — see Bpe)
+          size(graft.functions.bpe_encode_words(
+            regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))))
+            .as("n_bpe_tokens"),
           size(mediaArr).as("n_media"),
           array_join(transform(filter(col("spans"),
               x => x.getField("kind") =!= "text"),
@@ -396,7 +401,7 @@ object CrawlOps {
          |ORDER BY seq""".stripMargin,
 
     "q53_pack_corpus" ->
-      s"""WITH sp AS (SELECT doc_id, spans
+      s"""WITH RECURSIVE sp AS (SELECT doc_id, spans
          |  FROM read_parquet('$FX/interleaved.parquet/*.parquet')),
          |packed AS (SELECT doc_id,
          |  array_to_string(list_transform(list_filter(spans, x -> x.kind = 'text'),
@@ -407,11 +412,14 @@ object CrawlOps {
          |    x -> x.media_ref), '|') AS media_refs
          | FROM sp),
          |ok AS (SELECT DISTINCT doc_id
-         |  FROM read_parquet('$FX/hosting.parquet/*.parquet') WHERE status = 'ok')
+         |  FROM read_parquet('$FX/hosting.parquet/*.parquet') WHERE status = 'ok'),
+         |pok AS (SELECT p.* FROM packed p JOIN ok USING (doc_id)),
+         |${TextOps.bpeCte("SELECT doc_id, text FROM pok")}
          |SELECT p.doc_id, p.text,
          |  CAST(len(regexp_extract_all(lower(p.text), '[a-z0-9]+')) AS INT) AS n_tokens,
+         |  CAST(len(b.ids) AS INT) AS n_bpe_tokens,
          |  p.n_media, p.media_refs
-         |FROM packed p JOIN ok USING (doc_id)
+         |FROM pok p JOIN bpe b USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
 
     "q38_media_refs" ->

@@ -37,8 +37,50 @@ object GraphOps {
   private val FX = CorpusGen.dirFor(CorpusGen.Correctness)
   private def fx(s: SparkSession, dir: String): String = CorpusGen.ensureFor(s, dir)
 
-  /** Max BFS depth [PINNED — matches the crawl's maxDepth tier]. */
-  private val MaxHops = 10
+  /** BFS level backstop [round 5 — was a silent MaxHops=10 truncation].
+    * The loop now runs to FRONTIER EXHAUSTION (the exact semantics at
+    * any scale); the backstop only guards against a runaway loop and
+    * THROWS instead of silently returning truncated distances. Any
+    * finite graph exhausts in ≤ |hosts| levels, and real web host
+    * graphs in a few dozen; the oracle mirrors exhaustion by bounding
+    * its recursion at the host count (every BFS distance is < |hosts|,
+    * so the bound is semantically invisible). */
+  private val BfsBackstop = 1000
+
+  /** Iteration-state truncation + block-footprint discipline shared by
+    * the iterative loops (q42 BFS, q46/q47 components). Loop frames
+    * ride an explicit cached-RDD round-trip — see the measured
+    * rationale at [[hostComponents]] — and only the current and
+    * previous round's RDDs stay persisted ([[retireRound]]): anything
+    * older remains reachable through recompute lineage, which
+    * `unpersist` preserves, so the cached-block footprint is O(round
+    * state), not O(rounds). `releaseAll` (finally-safe, idempotent)
+    * drops every handle including rounds already retired. */
+  private final class RddLoop(spark: SparkSession) {
+    private type RowRdd = org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]
+    private var live = List.empty[RowRdd]
+    private var cur = List.empty[RowRdd]
+    private var prev = List.empty[RowRdd]
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live = rdd :: live
+      cur = rdd :: cur
+      spark.createDataFrame(rdd, df.schema)
+    }
+    /** Call once per loop round, AFTER the round's frames are
+      * materialized (an unmaterialized frame whose inputs retire would
+      * recompute through the full lineage chain every later round). */
+    def retireRound(): Unit = {
+      prev.foreach(_.unpersist(false))
+      live = live.filterNot(prev.contains)
+      prev = cur
+      cur = Nil
+    }
+    def releaseAll(): Unit = {
+      live.foreach(_.unpersist(false))
+      live = Nil; cur = Nil; prev = Nil
+    }
+  }
 
   /** PageRank iteration count and damping for q45 [PINNED — mirrored in
     * the oracle's unrolled CTE chain]. */
@@ -73,10 +115,15 @@ object GraphOps {
 
     // BFS hop distance from the seed hosts over the (deduped) host
     // edge set: per-level distributed expansion — join the frontier to
-    // the edges, anti-join out already-reached hosts, stop when a level
-    // comes back empty or MaxHops is hit. Unreachable hosts are absent
-    // (mirroring the recursive oracle). Each level is cached only until
-    // the final result materializes; the returned frame stays persisted
+    // the edges, anti-join out already-reached hosts, run to FRONTIER
+    // EXHAUSTION (round 5: the former MaxHops=10 silently truncated
+    // distances past the cap; BfsBackstop now only guards a runaway
+    // loop and throws). Unreachable hosts are absent (mirroring the
+    // recursive oracle, whose recursion bound is the host count — a
+    // semantically invisible cap since every BFS distance is smaller).
+    // Loop frames ride the RddLoop truncation discipline, so the plan
+    // stays constant-depth and the cached footprint O(level state)
+    // regardless of graph diameter; the returned frame stays persisted
     // (ownership transfers to the caller, the q25 contract).
     "q42_host_distance" -> ((s, dir) => {
       val d = fx(s, dir)
@@ -85,31 +132,37 @@ object GraphOps {
         .persist()
       val seedHosts = CorpusGen.seeds(s, d)
         .select(host_of(col("url_canon")).as("host")).distinct()
-
-      var dist = seedHosts.withColumn("dist", lit(0))
-      var frontier = dist.select("host")
-      val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
-      var hop = 0
-      var done = false
-      while (hop < MaxHops && !done) {
-        hop += 1
-        val next = frontier
-          .join(edges, frontier("host") === edges("src_host"))
-          .select(col("dst_host").as("host")).distinct()
-          .join(dist, Seq("host"), "left_anti")
-          .withColumn("dist", ref_int(hop))
-          .persist()
-        if (next.count() == 0) { next.unpersist(false); done = true }
-        else {
-          cached += next
-          dist = dist.unionByName(next)
-          frontier = next.select("host")
+      val loop = new RddLoop(s)
+      try {
+        var dist = loop.truncate(seedHosts.withColumn("dist", lit(0)))
+        var frontier = dist.select("host")
+        var hop = 0
+        var done = false
+        while (!done) {
+          hop += 1
+          if (hop > BfsBackstop) throw new IllegalStateException(
+            s"q42: BFS frontier not exhausted after $BfsBackstop levels — " +
+              "runaway loop (a finite graph exhausts in <= |hosts| levels)")
+          val next = loop.truncate(frontier
+            .join(edges, frontier("host") === edges("src_host"))
+            .select(col("dst_host").as("host")).distinct()
+            .join(dist, Seq("host"), "left_anti")
+            .withColumn("dist", ref_int(hop)))
+          if (next.count() == 0) done = true // no retire: dist's blocks stay hot for `out`
+          else {
+            dist = loop.truncate(dist.unionByName(next))
+            dist.count() // materialize before the inputs retire
+            frontier = next.select("host")
+            loop.retireRound()
+          }
         }
+        val out = dist.select("host", "dist").orderBy("host").persist()
+        out.count() // materialize before releasing the loop blocks
+        out
+      } finally {
+        loop.releaseAll()
+        edges.unpersist(false)
       }
-      val out = dist.select("host", "dist").orderBy("host").persist()
-      out.count() // materialize before releasing the per-level caches
-      cached.foreach(_.unpersist(false))
-      out
     }),
 
     // PageRank over the weighted host edge list (G3) — ranks rounded to
@@ -382,12 +435,11 @@ object GraphOps {
       // multi-node production cluster a reliable checkpoint dir is the
       // better anchor. No SQL-cache entries are created (the cache-leak
       // gate sees nothing); the backing RDDs are unpersisted on exit.
-      var liveRdds = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-      def truncate(df: DataFrame): DataFrame = {
-        val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        liveRdds = rdd :: liveRdds
-        spark.createDataFrame(rdd, df.schema)
-      }
+      // Block-footprint + per-round retirement discipline: [[RddLoop]]
+      // (shared with the q42 BFS loop) — only the current and previous
+      // round's RDDs stay persisted.
+      val loop = new RddLoop(spark)
+      def truncate(df: DataFrame): DataFrame = loop.truncate(df)
 
       // ---- alternating large-star / small-star ----------------------
       // (Kiveris et al., "Connected Components in MapReduce and
@@ -438,15 +490,31 @@ object GraphOps {
           .union(mS.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v")).distinct())
         val c2 = e2.count()
-        // converged iff the edge set is a star forest: no edge's center
-        // (v, the smaller endpoint) is itself a satellite elsewhere.
-        // Star graphs are fixpoints of both phases, so stopping here is
-        // stopping at the true fixpoint.
-        val nonStar = e2.join(e2.select(col("u").as("v")).distinct(),
-          Seq("v"), "left_semi").count()
+        // converged iff the edge set is a TRUE star forest. Two
+        // violations must both be absent, checked in one aggregation
+        // job over node roles:
+        //  (1) a center (v, the smaller endpoint) that is itself a
+        //      satellite (u) elsewhere — chains;
+        //  (2) a satellite pointing at TWO distinct centers — the
+        //      center-only check alone misses this: on the path
+        //      a-e, e-g, g-i, b-i (a<b<e<g<i) one round yields
+        //      {(e,a),(g,a),(e,b),(i,b)} with zero center-satellites
+        //      but one component split across labels a and b.
+        // Star graphs are fixpoints of both phases, so stopping at
+        // zero violations is stopping at the true fixpoint.
+        val vType = e2.schema("v").dataType
+        val nonStar = e2.select(col("u").as("n"), col("v").as("ctr"))
+          .union(e2.select(col("v").as("n"),
+            lit(null).cast(vType).as("ctr")))
+          .groupBy("n")
+          .agg(countDistinct(col("ctr")).as("nc"),
+            max(when(col("ctr").isNull, 1).otherwise(0)).as("isCtr"))
+          .filter(col("nc") > 1 or (col("nc") >= 1 and col("isCtr") === 1))
+          .count()
         stars = nonStar == 0L
         e = e2
         eCnt = c2
+        loop.retireRound()
         if (trace) System.err.println(
           f"[components] round $it%d edges $c2%d nonstar $nonStar%d " +
             f"${(System.nanoTime() - tIt) / 1e9}%.2f s")
@@ -466,7 +534,7 @@ object GraphOps {
       // exact)
       } finally {
         hosts.unpersist(false)
-        liveRdds.foreach(_.unpersist(false))
+        loop.releaseAll()
       }
     }
   }
@@ -504,16 +572,22 @@ object GraphOps {
          |FROM ed
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // recursion bound = host count: every BFS distance is < |hosts|, so
+    // the cap never truncates a reachable host — it only terminates the
+    // cycle-walk (the engine mirrors this by iterating the frontier to
+    // exhaustion)
     "q42_host_distance" ->
       s"""WITH RECURSIVE $edgesSqlCte,
          |edges AS (SELECT DISTINCT src_host, dst_host FROM ed),
+         |allh AS (SELECT COUNT(*) AS n FROM (
+         |  SELECT src_host AS h FROM edges UNION SELECT dst_host FROM edges)),
          |seedh AS (SELECT DISTINCT regexp_extract(url_canon, '^https?://([^/:?]+)', 1) AS host
          |  FROM read_parquet('$FX/seeds.parquet/*.parquet')),
          |r(host, d) AS (
          |  SELECT host, 0 FROM seedh
          |  UNION
          |  SELECT e.dst_host, r.d + 1 FROM r JOIN edges e ON e.src_host = r.host
-         |  WHERE r.d < $MaxHops)
+         |  WHERE r.d < (SELECT n FROM allh))
          |SELECT host, CAST(MIN(d) AS INT) AS dist FROM r GROUP BY host ORDER BY host""".stripMargin,
 
     "q45_host_rank" -> {

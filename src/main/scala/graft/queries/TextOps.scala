@@ -43,6 +43,51 @@ object TextOps {
       |UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz9 extra tail words' AS text
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Absolute-path twin of the classpath BPE fixture the engine kernel
+    * loads ([[graft.functions.Bpe]]) — the oracle reads the SAME
+    * committed file via read_csv, so a model/oracle drift is
+    * structurally impossible. */
+  private[graft] val BpeMergesPath =
+    "/root/repo/src/main/resources/graft/bpe_merges.tsv"
+
+  /** DuckDB mirror of the pinned BPE encode ([[graft.functions.Bpe]]):
+    * given `docsSql` yielding (doc_id, text), produces CTEs
+    * `dws(doc_id, ws)` (the word arrays under the repo word grammar)
+    * and `bpe(doc_id, ids)` (the per-doc subword id sequence). The
+    * encode loop is a recursive CTE over DISTINCT words — one merge of
+    * the leftmost lowest-rank adjacent pair per recursion step, exactly
+    * the kernel's loop — then words map back to docs through an
+    * order-preserving list_transform (no unnest ordering relied on).
+    * Embed under `WITH RECURSIVE`. */
+  private[graft] def bpeCte(docsSql: String): String =
+    s"""bm AS (SELECT CAST("rank" AS INT) AS rank, l, r, l || r AS merged
+       |  FROM read_csv('$BpeMergesPath', delim='\t', header=true,
+       |       columns={'rank':'INTEGER','l':'VARCHAR','r':'VARCHAR'})),
+       |pmap AS (SELECT map(list(l || chr(1) || r ORDER BY rank), list(rank ORDER BY rank)) AS pm FROM bm),
+       |vmap AS (SELECT map(list(tok), list(id)) AS vm FROM (
+       |  SELECT tok, MIN(id) AS id FROM (
+       |    SELECT chr(CAST(97 + i AS INT)) AS tok, CAST(i AS INT) AS id FROM range(26) t(i)
+       |    UNION ALL SELECT chr(CAST(48 + i AS INT)), CAST(26 + i AS INT) FROM range(10) t(i)
+       |    UNION ALL SELECT merged, 36 + rank FROM bm) GROUP BY tok)),
+       |dws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM ($docsSql)),
+       |uw AS (SELECT DISTINCT unnest(ws) AS w FROM dws),
+       |enc(w, ts) AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]) FROM uw
+       |  UNION ALL
+       |  SELECT w, list_concat(list_concat(ts[1:bi-1], [ts[bi] || ts[bi+1]]), ts[bi+2:len(ts)])
+       |  FROM (SELECT w, ts, CASE WHEN best IS NULL THEN NULL
+       |               ELSE list_position(rks, best) END AS bi
+       |        FROM (SELECT w, ts, rks, list_min(list_filter(rks, x -> x IS NOT NULL)) AS best
+       |              FROM (SELECT e.w, e.ts, list_transform(range(1, len(e.ts)),
+       |                       i -> map_extract(p.pm, e.ts[CAST(i AS INT)] || chr(1) || e.ts[CAST(i+1 AS INT)])[1]) AS rks
+       |                    FROM enc e, pmap p)))
+       |  WHERE bi IS NOT NULL),
+       |encf AS (SELECT w, arg_min(ts, len(ts)) AS ts FROM enc GROUP BY w),
+       |wids AS (SELECT w, list_transform(ts, t -> map_extract(v.vm, t)[1]) AS ids FROM encf, vmap v),
+       |wmap AS (SELECT map(list(w), list(ids)) AS wm FROM wids),
+       |bpe AS (SELECT d.doc_id, flatten(list_transform(d.ws, w -> map_extract(m.wm, w)[1])) AS ids
+       |        FROM dws d, wmap m)""".stripMargin
+
   /** Word-3-shingles over an ALREADY-MATERIALIZED words column. `ws`
     * must be a physical attribute, not the regexp subtree: higher-order
     * functions evaluate interpreted, so a lambda that references a
@@ -167,23 +212,42 @@ object TextOps {
     val offsets = d.groupBy("bkt").agg(sum("n_tok").as("tot"))
       .withColumn("off", coalesce(sum("tot").over(wB), lit(0L)))
       .select("bkt", "off")
+    val carry = // continuity columns (e.g. n_words) ride along untouched
+      docs.columns.filterNot(Set("doc_id", "n_tok", "bkt")).map(col).toSeq
     fine.join(offsets, Seq("bkt"))
       .withColumn("start_tok", col("off") + col("run_in"))
-      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+      .select(Seq(col("doc_id"), col("n_tok")) ++ carry ++ Seq(col("start_tok"),
         floor(col("start_tok") / lit(B)).cast("long").as("seq_id"),
-        (col("start_tok") % lit(B)).as("seq_off"))
+        (col("start_tok") % lit(B)).as("seq_off")): _*)
       .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
 
-    // token counting (whitespace + alnum-word grammar)
+    // token counting: whitespace tokens, grammar words, and (round 5)
+    // the real unit — subword BPE tokens from the pinned merges fixture
     "q20_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
           size(words(col("text"))).as("n_words"),
+          size(graft.functions.bpe_encode_words(words(col("text")))).as("n_bpe"),
           length(col("text")).as("n_chars_c"))
+        .orderBy("doc_id")
+    }),
+
+    // subword (BPE) tokenization — the full id sequence, oracle-gated
+    // end-to-end: doc -> words -> leftmost-lowest-rank merges -> ids.
+    // Map-only (one codegen pass per row, memoized per-word kernel);
+    // the augmented rows exercise out-of-vocabulary words ('zz9',
+    // 'extra', ...) through the character fallback.
+    "q57_bpe_tokens" -> ((s, dir) => {
+      val base = docsAugmented(s, dir)
+      base.select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_words"),
+          graft.functions.bpe_encode_words(col("ws")).as("ids"))
+        .select(col("doc_id"), col("n_words"), size(col("ids")).as("n_bpe"),
+          array_join(transform(col("ids"), x => x.cast("string")), "|").as("bpe_ids"))
         .orderBy("doc_id")
     }),
 
@@ -429,9 +493,14 @@ object TextOps {
     // simply raised (or the same trick applied to the bucket table
     // recursively) to keep the offsets window one small task; no global
     // single-partition pass ever touches the doc-level rows.
+    // round 5: the packing budget is denominated in BPE tokens (the
+    // unit a trainer actually packs); n_words kept for continuity
     "q55_seq_packing" -> ((s, dir) =>
       seqPacking(t(s, dir, "documents")
-        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok")))),
+        .select(col("doc_id"),
+          size(graft.functions.bpe_encode_words(words(col("text"))))
+            .cast("long").as("n_tok"),
+          size(words(col("text"))).cast("long").as("n_words")))),
 
     // word-frequency quality score — the cheap LM-perplexity proxy
     // (CCNet-style): a document's score is the mean log10 corpus
@@ -572,11 +641,20 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q20_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
-        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
-        | CAST(length(text) AS INT) AS n_chars_c
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${bpeCte("SELECT doc_id, text FROM documents")}
+         |SELECT d.doc_id,
+         | CAST(len(regexp_extract_all(d.text, '\\S+')) AS INT) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS INT) AS n_words,
+         | CAST(len(b.ids) AS INT) AS n_bpe,
+         | CAST(length(d.text) AS INT) AS n_chars_c
+         |FROM documents d JOIN bpe b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q57_bpe_tokens" ->
+      s"""WITH RECURSIVE ${bpeCte(docsAugmentedSql)}
+         |SELECT d.doc_id, CAST(len(d.ws) AS INT) AS n_words,
+         | CAST(len(b.ids) AS INT) AS n_bpe,
+         | array_to_string(b.ids, '|') AS bpe_ids
+         |FROM dws d JOIN bpe b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q21_quality" ->
       """SELECT doc_id, n_words, n_stop, stop_ratio,
@@ -728,17 +806,19 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
 
     "q55_seq_packing" ->
-      """WITH d AS (SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tok,
-        |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-        |  FROM d)
-        |SELECT doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
-        |  CAST(start_tok // 1024 AS BIGINT) AS seq_id,
-        |  CAST(start_tok % 1024 AS BIGINT) AS seq_off
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${bpeCte("SELECT doc_id, text FROM documents")},
+         |d AS (SELECT w.doc_id,
+         |  CAST(len(b.ids) AS BIGINT) AS n_tok,
+         |  CAST(len(w.ws) AS BIGINT) AS n_words
+         |  FROM dws w JOIN bpe b USING (doc_id)),
+         |c AS (SELECT doc_id, n_tok, n_words,
+         |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM d)
+         |SELECT doc_id, n_tok, n_words, CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(start_tok // 1024 AS BIGINT) AS seq_id,
+         |  CAST(start_tok % 1024 AS BIGINT) AS seq_off
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q54_wordfreq_score" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

@@ -51,23 +51,45 @@ object VectorOps {
         rhp_sig(vec, weights.slice(tb * bits, (tb + 1) * bits)).as("sig"))
     }: _*)
 
+  /** Hard ceiling on the brute-force query-set size [PINNED]. The
+    * `=!=` theta-join below physically plans as a
+    * BroadcastNestedLoopJoin — O(|queries| × |corpus|) cosine kernels.
+    * That is the CORRECT shape for an exact baseline over a bounded
+    * query set (it is what q29/q35 recall is measured against), and a
+    * scale-killer for anything else: at 10^9 vectors even 10^5 queries
+    * is 10^14 kernels. The refusal is loud so the operator cannot be
+    * lifted into a pipeline by accident — use q29 (LSH) or q35 (IVF)
+    * beyond this. */
+  val BruteForceMaxQueries = 4096L
+
+  /** Exact cosine top-k of `q` against `emb` — O(Q·N) by construction;
+    * refuses query sets larger than [[BruteForceMaxQueries]]. */
+  private[graft] def bruteForceTopK(q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val nq = q.count()
+    require(nq <= BruteForceMaxQueries,
+      s"bruteForceTopK: $nq queries > cap $BruteForceMaxQueries — this " +
+        "exact baseline is O(queries x corpus) (BroadcastNestedLoopJoin); " +
+        "use q29_ann_lsh or q35_ann_ivf for large query sets")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    q.join(emb, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos4"))
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // brute-force cosine top-k (exact ANN baseline)
+    // brute-force cosine top-k (exact ANN baseline; capped — see
+    // BruteForceMaxQueries)
     "q28_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val q = emb.filter(col("vec_id") % 40 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      q.join(emb, col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 4).as("cos4"))
-        .orderBy("query_id", "rank")
+      bruteForceTopK(q, emb, 5).orderBy("query_id", "rank")
     }),
 
     // LSH-bucketed ANN: multi-table (4×4-bit) random-hyperplane buckets;

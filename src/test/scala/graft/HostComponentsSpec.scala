@@ -29,8 +29,13 @@ class HostComponentsSpec extends SparkTestBase {
   private def engineComponents(edges: Seq[(String, String)]): Map[String, String] = {
     val df = edges.toDF("src_host", "dst_host")
     val out = GraphOps.hostComponents(df)
-    val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rows = out.collect().map(r => r.getString(0) -> r.getString(1))
     out.unpersist(false)
+    val m = rows.toMap
+    // one row per host, always — duplicate rows are the signature of a
+    // premature star-forest stop and must not be collapsed by toMap
+    assert(rows.length == m.size,
+      s"duplicate host rows: ${rows.length} rows, ${m.size} hosts")
     m
   }
 
@@ -56,6 +61,38 @@ class HostComponentsSpec extends SparkTestBase {
     assert(got == want, s"got=$got want=$want")
     assert(got.values.toSet.size == 3)
     assert(got("z2") == "z2" && got("m3") == "k3" && got("d1") == "a1")
+  }
+
+  test("zigzag-ordered path: two-center satellites must not stop the " +
+      "loop early (round-4 counterexample)") {
+    // Path a-e-g-i-b with alphabetic order a<b<e<g<i. One
+    // large-star/small-star round yields {(e,a),(g,a),(e,b),(i,b)}:
+    // zero centers appear as satellites, yet e points at two centers
+    // and the single component is split across labels a and b. The
+    // strengthened stop condition must run another round and merge.
+    val edges = Seq("a" -> "e", "e" -> "g", "g" -> "i", "b" -> "i")
+    val got = engineComponents(edges)
+    assert(got.values.toSet == Set("a"),
+      s"one component labeled 'a' expected, got $got")
+    assert(got == ufComponents(edges))
+  }
+
+  test("randomized zigzag paths and caterpillars match union-find") {
+    val rnd = new scala.util.Random(20260820L)
+    for (trial <- 0 until 6) {
+      val n = 12 + rnd.nextInt(30)
+      // random labels force arbitrary order along the path; extra leaf
+      // hairs create multi-satellite centers
+      val labels = rnd.shuffle((0 until n).map(i => f"h${rnd.nextInt(100000)}%05d-$i").toList)
+      val path = labels.sliding(2).map { case List(x, y) => x -> y }.toSeq
+      val hairs = (0 until n / 3).map { k =>
+        labels(rnd.nextInt(n)) -> f"leaf$trial%d-$k%02d"
+      }
+      val edges = path ++ hairs
+      val got = engineComponents(edges)
+      val want = ufComponents(edges)
+      assert(got == want, s"trial $trial: got=$got want=$want")
+    }
   }
 
   test("hostComponents over the smoke corpus host graph matches " +

@@ -71,6 +71,21 @@ class LshAnnSpec extends SparkTestBase {
     assert(recall >= 0.10, f"IVF recall degraded: $recall%.3f")
   }
 
+  test("brute-force top-k refuses query sets above the pinned cap") {
+    // the O(Q·N) BroadcastNestedLoopJoin baseline must not be liftable
+    // into a pipeline: an oversized query frame fails loudly, pointing
+    // at the bucketed variants
+    val n = graft.queries.VectorOps.BruteForceMaxQueries + 1
+    val big = spark.range(n)
+      .select(col("id").as("query_id"), array(lit(1.0), lit(0.0)).as("qv"))
+    val emb = spark.range(10)
+      .select(col("id").as("vec_id"), array(lit(0.0), lit(1.0)).as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.VectorOps.bruteForceTopK(big, emb, 5)
+    }
+    assert(ex.getMessage.contains("q29_ann_lsh"), ex.getMessage)
+  }
+
   test("q50 k-means: engine assignment equals the sequential Lloyd model exactly") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").collect()

@@ -232,7 +232,8 @@ class PlanShapeSpec extends SparkTestBase {
     // RDD-operator hot path — everything inside each round is DataFrame
     // joins/aggregates.
     val excepted = Set("q09_crawl", "q46_host_components", "q47_dedup_clusters",
-      "q56_curated_sample") // composes q47's cluster output (same RDD leaf)
+      "q56_curated_sample", // composes q47's cluster output (same RDD leaf)
+      "q42_host_distance")  // round 5: BFS-to-exhaustion rides RddLoop too
     val offenders = SparkEntry.queries.keys.filterNot(excepted).filter { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
       p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")
