@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeEncodeWords, CanonicalizeUrl, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, NgramHashes, PathOf, RhpSig, SimHash32}
+import graft.functions.{BpeEncodeWords, CanonicalizeUrl, NbLangScores, CosineSim, Dist2, DotProduct, ExtractUrls, HostOf, MinhashSigs, NgramHashes, PathOf, RhpSig, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Pmod, XxHash64}
@@ -148,6 +148,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bpe_encode"),
       info("graft_bpe_encode",
         "graft_bpe_encode(words) - subword (BPE) token ids for an ARRAY<STRING> word column, one codegen pass over the pinned merges fixture."),
-      args => { arity("graft_bpe_encode", args, 1); BpeEncodeWords(args.head) })
+      args => { arity("graft_bpe_encode", args, 1); BpeEncodeWords(args.head) }),
+    (FunctionIdentifier("graft_nb_lang_scores"),
+      info("graft_nb_lang_scores",
+        "graft_nb_lang_scores(words) - per-language char-bigram Naive Bayes scores (quantized micro log-probs, pinned lang order) over the pinned model fixture."),
+      args => { arity("graft_nb_lang_scores", args, 1); NbLangScores(args.head) })
   )
 }

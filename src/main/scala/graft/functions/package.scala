@@ -89,4 +89,9 @@ package object functions {
     * the pinned merges fixture — see [[Bpe]] for the encode contract. */
   def bpe_encode_words(words: Column): Column =
     Shim.col(BpeEncodeWords(Shim.expr(words)))
+
+  /** Per-language char-bigram Naive Bayes scores (quantized micro
+    * log-probs, pinned lang order) — see [[LangId]]. */
+  def nb_lang_scores(words: Column): Column =
+    Shim.col(NbLangScores(Shim.expr(words)))
 }

@@ -50,6 +50,11 @@ object TextOps {
   private[graft] val BpeMergesPath =
     "/root/repo/src/main/resources/graft/bpe_merges.tsv"
 
+  /** Same twin arrangement for the langid NB model fixture
+    * ([[graft.functions.LangId]]). */
+  private[graft] val LangModelPath =
+    "/root/repo/src/main/resources/graft/langid_model.tsv"
+
   /** DuckDB mirror of the pinned BPE encode ([[graft.functions.Bpe]]):
     * given `docsSql` yielding (doc_id, text), produces CTEs
     * `dws(doc_id, ws)` (the word arrays under the repo word grammar)
@@ -274,6 +279,34 @@ object TextOps {
           score(Seq("der", "die", "und", "das")).as("s_de"),
           score(Seq("el", "la", "que", "los")).as("s_es"),
           score(Seq("le", "les", "des", "est")).as("s_fr"))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // model-based language ID (q58): char-bigram multinomial Naive
+    // Bayes over the pinned model fixture (LangIdTrain), scored on the
+    // held-out fold of the multilingual fixture corpus (LangCorpus —
+    // the driver documents.lang label is uncorrelated with its text, so
+    // honest model accuracy needs text whose language actually varies).
+    // Map-only codegen kernel (no explode/model join in the engine —
+    // the ORACLE uses the join shape for independence); exact BIGINT
+    // micro-sums make the scores bit-identical cross-engine. Accuracy
+    // vs the q22 marker heuristic is asserted in LangIdSpec.
+    "q58_langid_model" -> ((s, dir) => {
+      val d = graft.corpus.LangCorpus.ensure(s)
+      s.read.parquet(s"$d/langid.parquet")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.nb_lang_scores(words(col("text"))).as("sc"))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("sc"), 1).as("s_en"),
+          element_at(col("sc"), 2).as("s_de"),
+          element_at(col("sc"), 3).as("s_es"),
+          element_at(col("sc"), 4).as("s_fr"))
         .withColumn("lang_pred",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
@@ -681,6 +714,36 @@ object TextOps {
         |  CAST(len(list_filter(ws, w -> w IN ('le','les','des','est'))) AS INT) AS s_fr
         | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // independent recomputation path on purpose: the oracle EXPLODES
+    // bigrams and joins the committed model TSV (read_csv on the same
+    // file the kernel loads), where the engine runs the map-only
+    // kernel — shared inputs, disjoint code
+    "q58_langid_model" ->
+      s"""WITH model AS (SELECT feature, m_en, m_de, m_es, m_fr
+         |  FROM read_csv('$LangModelPath', delim='\t', header=true,
+         |       columns={'feature':'VARCHAR','m_en':'BIGINT','m_de':'BIGINT','m_es':'BIGINT','m_fr':'BIGINT'})),
+         |oov AS (SELECT m_en AS o_en, m_de AS o_de, m_es AS o_es, m_fr AS o_fr
+         |  FROM model WHERE feature = '<oov>'),
+         |docs AS (SELECT doc_id, lang, text
+         |  FROM read_parquet('${graft.corpus.LangCorpus.dir}/langid.parquet/*.parquet')
+         |  WHERE doc_id % 5 = 0),
+         |wd AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM docs),
+         |ft AS (SELECT doc_id, lang, unnest(list_transform(range(1, length('^' || w || '$$')),
+         |    i -> substr('^' || w || '$$', CAST(i AS INT), 2))) AS feat FROM wd),
+         |sc AS (SELECT ft.doc_id, ft.lang,
+         |    CAST(SUM(COALESCE(m.m_en, o.o_en)) AS BIGINT) AS s_en,
+         |    CAST(SUM(COALESCE(m.m_de, o.o_de)) AS BIGINT) AS s_de,
+         |    CAST(SUM(COALESCE(m.m_es, o.o_es)) AS BIGINT) AS s_es,
+         |    CAST(SUM(COALESCE(m.m_fr, o.o_fr)) AS BIGINT) AS s_fr
+         |  FROM ft LEFT JOIN model m ON m.feature = ft.feat CROSS JOIN oov o
+         |  GROUP BY ft.doc_id, ft.lang)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q23_exact_dedup" ->
       s"""SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
