@@ -310,6 +310,93 @@ object GoldenOracles {
     out.result()
   }
 
+  // ---- q59: SemDeDup (cluster -> within-cluster LSH prune) ------------
+
+  final case class SemDedupRow(vec_id: Long, cid: Int, kept: Int, dup_of: Long, cos4: Double)
+
+  /** Sequential SemDeDup model [PINNED, mirrored in VectorOps q59]:
+    * the q36 augmentation, k-means clusters over the AUGMENTED set
+    * (the same kmeans model as q50), candidate pairs only within
+    * (cid, table, sig) buckets of size ≤ bucketCap, exact cosine ≥
+    * thresh confirms, and a vector is kept iff it has no lower-id
+    * near-dup in its cluster (dup_of = the smallest such neighbor;
+    * sentinels -1 / 0.0 on kept rows). */
+  def semDedup(emb: Array[(Long, Array[Double])], tables: Int = 4, bits: Int = 6,
+               thresh: Double = 0.9, bucketCap: Int = 64,
+               k: Int = 8, maxIters: Int = 25): Seq[SemDedupRow] = {
+    val dim = emb.head._2.length
+    val w: Array[Array[Double]] =
+      Array.tabulate(tables * bits, dim)((p, d) => planeNum(p, d) / 500.0)
+    val aug = emb ++
+      emb.filter(_._1 % 20 == 0).map { case (id, v) => (id + 1000000L, v) } ++
+      emb.filter(_._1 % 15 == 0).map { case (id, v) =>
+        (id + 2000000L, Array.tabulate(v.length)(d => v(d) + 0.05 * ((d % 7) - 3).toDouble))
+      }
+    val (kmRows, _, _) = kmeans(aug, k, maxIters)
+    val cidOf: Map[Long, Int] = kmRows.map(r => r.vec_id -> r.cid).toMap
+    val sigs: Array[Array[Long]] = aug.map { case (_, v) =>
+      Array.tabulate(tables)(t => rhpSigW(v, w, t * bits, bits))
+    }
+    val bucketSize = scala.collection.mutable.Map.empty[(Int, Int, Long), Int]
+    var bi = 0
+    while (bi < sigs.length) {
+      val cid = cidOf(aug(bi)._1)
+      var t = 0
+      while (t < tables) {
+        val key = (cid, t, sigs(bi)(t))
+        bucketSize(key) = bucketSize.getOrElse(key, 0) + 1
+        t += 1
+      }
+      bi += 1
+    }
+    val byBucket = scala.collection.mutable.Map
+      .empty[(Int, Int, Long), scala.collection.mutable.ArrayBuffer[Int]]
+    bi = 0
+    while (bi < sigs.length) {
+      val cid = cidOf(aug(bi)._1)
+      var t = 0
+      while (t < tables) {
+        val key = (cid, t, sigs(bi)(t))
+        if (bucketSize(key) <= bucketCap)
+          byBucket.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += bi
+        t += 1
+      }
+      bi += 1
+    }
+    val n = aug.length.toLong
+    val candPairs = scala.collection.mutable.HashSet.empty[Long]
+    byBucket.valuesIterator.foreach { idxs =>
+      var x = 0
+      while (x < idxs.length) {
+        var y = x + 1
+        while (y < idxs.length) {
+          val i = math.min(idxs(x), idxs(y)); val j = math.max(idxs(x), idxs(y))
+          candPairs += i * n + j
+          y += 1
+        }
+        x += 1
+      }
+    }
+    // dup_of = min lower-id near-dup per dropped vector, + that pair's cos
+    val dupOf = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    candPairs.toArray.sorted.foreach { enc =>
+      val i = (enc / n).toInt; val j = (enc % n).toInt
+      val (ia, va) = aug(i); val (ib, vb) = aug(j)
+      val (a, b, xa, xb) = if (ia < ib) (ia, ib, va, vb) else (ib, ia, vb, va)
+      val c = cosine(xa, xb)
+      if (c >= thresh) dupOf.updateWith(b) {
+        case Some((pa, pc)) if pa <= a => Some((pa, pc))
+        case _                         => Some((a, c))
+      }
+    }
+    aug.sortBy(_._1).map { case (id, _) =>
+      dupOf.get(id) match {
+        case Some((a, c)) => SemDedupRow(id, cidOf(id), 0, a, round4(c))
+        case None         => SemDedupRow(id, cidOf(id), 1, -1L, 0.0)
+      }
+    }.toSeq
+  }
+
   // ---- entry point: write all golden fixtures for a tier --------------
 
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
@@ -369,5 +456,7 @@ object GoldenOracles {
     kmRows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q50_kmeans.parquet")
     kmCents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/q50_centroids.parquet")
+    semDedup(emb).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/q59_semdedup.parquet")
   }
 }

@@ -218,13 +218,7 @@ object VectorOps {
       val BUCKET_CAP = 64
       val raw = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val emb = raw
-        .unionByName(raw.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
-        .unionByName(raw.filter(col("vec_id") % 15 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"),
-            zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-              (x, d) => x + lit(0.05) * (pmod(d, lit(7)) - lit(3)).cast("double")).as("v")))
+      val emb = embAugmented(raw)
       val dim = raw.select(size(col("v"))).head().getInt(0)
       val W = planeWeights(24, dim)
       val banded = emb
@@ -248,6 +242,65 @@ object VectorOps {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // SemDeDup (q59): the composed semantic-dedup pipeline — k-means
+    // clusters (single-sourced with q50's kmeansCentroids), then
+    // WITHIN-CLUSTER near-dup candidates via (cid, table, sig)-keyed
+    // RHP-LSH buckets (capped, q25/q36 hygiene — candidate generation
+    // provably bounded: every join is an equi-join on cluster+bucket
+    // keys, nothing all-pairs across clusters), exact cosine >= 0.9
+    // confirm, and the pinned representative rule: a vector is KEPT iff
+    // it has no lower-id near-dup in its cluster; a dropped vector
+    // reports dup_of = its smallest such neighbor (sentinels -1/0.0 on
+    // kept rows). Oracle: golden sequential model (GoldenOracles
+    // .semDedup) + the DuckDB gate independently re-verifies every
+    // dropped row's cosine from SQL-reconstructed augmented vectors.
+    "q59_semdedup" -> ((s, dir) => {
+      val BUCKET_CAP = 64
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val emb = embAugmented(raw).persist()
+      emb.count() // materialize: kmeans iterations + banding re-scan this
+      val (cents, _) = kmeansCentroids(emb, 8, 25)
+      val cells = emb.withColumn("cid", nearest_centroid(col("v"), cents))
+      val dim = raw.select(size(col("v"))).head().getInt(0)
+      val W = planeWeights(24, dim)
+      val banded = cells
+        .select(col("vec_id"), col("cid"), explode(rhpTables(col("v"), W, 4, 6)).as("ts"))
+        .select(col("vec_id"), col("cid"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val hot = banded.groupBy("cid", "t", "sig").count()
+        .filter(col("count") > BUCKET_CAP).select("cid", "t", "sig")
+      val pruned = banded.join(broadcast(hot), Seq("cid", "t", "sig"), "left_anti")
+      val a = pruned.select(col("cid"), col("t"), col("sig"), col("vec_id").as("vec_a"))
+      val b = pruned.select(col("cid"), col("t"), col("sig"), col("vec_id").as("vec_b"))
+      val pairs = a.join(b, Seq("cid", "t", "sig"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val va = emb.select(col("vec_id").as("vec_a"), col("v").as("v_a"))
+      val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("v_b"))
+      val near = pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+        .withColumn("cos", cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= 0.9)
+        .select("vec_a", "vec_b", "cos").persist()
+      near.count() // materialize: read twice below (min + cos recovery)
+      val drops = near.groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dup_of"))
+      val dupCos = drops.join(
+        near.select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"), col("cos")),
+        Seq("vec_id", "dup_of"))
+        .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos4"))
+      val out = cells.select("vec_id", "cid")
+        .join(dupCos, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("dup_of").isNull.cast("int").as("kept"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("cos4"), lit(0.0)).as("cos4"))
+        .orderBy("vec_id")
+        .persist()
+      out.count()
+      near.unpersist(false)
+      emb.unpersist(false)
+      out
+    }),
+
     // vector stats via higher-order functions (fully SQL-checkable)
     "q34_embedding_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -259,6 +312,21 @@ object VectorOps {
         .orderBy("label")
     }),
   )
+
+  /** The embeddings table has no near-dups, so the near-dup family
+    * (q36, q59) appends deterministic exact + perturbed copies
+    * [PINNED formulas, mirrored in GoldenOracles and the q59 oracle's
+    * SQL reconstruction]: exact copies at +1e6 for vec_id % 20 == 0,
+    * elementwise +0.05·((d%7)−3) perturbations at +2e6 for
+    * vec_id % 15 == 0. */
+  private[graft] def embAugmented(raw: DataFrame): DataFrame =
+    raw
+      .unionByName(raw.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      .unionByName(raw.filter(col("vec_id") % 15 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, d) => x + lit(0.05) * (pmod(d, lit(7)) - lit(3)).cast("double")).as("v")))
 
   /** Lloyd k-means to a centroid fixpoint (or maxIters). Seeds: every
     * 31st vec_id, first k, in vec_id order — the q35 seeding rule.
@@ -361,6 +429,36 @@ object VectorOps {
          |JOIN embeddings n ON n.vec_id = g.neighbor_id
          |WHERE abs(g.cos4 - list_cosine_similarity(q.embedding, n.embedding)) <= 2e-4
          |ORDER BY g.query_id, g.rank""".stripMargin,
+
+    // EXACT rows come from the golden sequential model (GoldenOracles
+    // .semDedup); DuckDB independently re-verifies every DROPPED row:
+    // it reconstructs the augmented vectors from the raw embeddings
+    // table with the pinned formulas and checks the claimed cos4
+    // against its own list_cosine_similarity within 2e-4 (plus that the
+    // pair sits in one cluster per the golden labels and dup_of <
+    // vec_id). A failing check drops rows -> red row-count gate.
+    "q59_semdedup" ->
+      s"""WITH g AS (SELECT vec_id, cid, kept, dup_of, cos4
+         |  FROM read_parquet('$GOLD/q59_semdedup.parquet/*.parquet')),
+         |aug AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) + 0.05 * (((i - 1) % 7) - 3))
+         |  FROM embeddings WHERE vec_id % 15 = 0)
+         |SELECT g.vec_id, g.cid, g.kept, g.dup_of, g.cos4
+         |FROM g
+         |LEFT JOIN aug a ON a.vec_id = g.dup_of
+         |LEFT JOIN aug b ON b.vec_id = g.vec_id
+         |LEFT JOIN g ga ON ga.vec_id = g.dup_of
+         |WHERE g.kept = 1
+         |   OR (g.dup_of < g.vec_id AND ga.cid = g.cid
+         |       AND abs(g.cos4 - list_cosine_similarity(a.v, b.v)) <= 2e-4)
+         |ORDER BY g.vec_id""".stripMargin,
 
     "q34_embedding_stats" ->
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

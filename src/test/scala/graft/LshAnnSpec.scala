@@ -86,6 +86,38 @@ class LshAnnSpec extends SparkTestBase {
     assert(ex.getMessage.contains("q29_ann_lsh"), ex.getMessage)
   }
 
+  test("q59 SemDeDup: engine equals the sequential model exactly; " +
+      "exact copies are dropped against their originals") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val want = graft.oracle.GoldenOracles.semDedup(emb)
+      .map(r => (r.vec_id, r.cid, r.kept, r.dup_of, r.cos4))
+    val df = SparkEntry.queries("q59_semdedup")(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toSeq
+    df.unpersist(false)
+    assert(got == want, {
+      val diff = got.zip(want).filter { case (a, b) => a != b }.take(5)
+      s"engine≠model on ${diff.size}+ rows, first: $diff"
+    })
+    // sanity on the semantics, independent of the model: every exact
+    // copy (+1e6) must be dropped (cos 1.0 with its original, same
+    // cluster), and a healthy majority of the corpus must survive
+    val byId = got.map(r => r._1 -> r).toMap
+    val copies = got.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, kept, dupOf, cos4) =>
+      assert(kept == 0 && dupOf >= 0 && cos4 >= 0.9999,
+        s"exact copy $id not dropped: kept=$kept dup_of=$dupOf cos4=$cos4")
+    }
+    val keptFrac = got.count(_._3 == 1).toDouble / got.length
+    info(f"SemDeDup kept ${keptFrac * 100}%.1f%% of ${got.length} vectors")
+    assert(keptFrac > 0.5 && keptFrac < 1.0)
+    assert(byId.size == got.length, "duplicate vec_id rows")
+  }
+
   test("q50 k-means: engine assignment equals the sequential Lloyd model exactly") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
