@@ -445,6 +445,16 @@ object GoldenOracles {
         f.round, f.fetchTs, f.status, f.docId))
       .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q51_priority_crawl.parquet")
 
+    // q60: the default-config smoke crawl whose fetch set feeds the
+    // crawl-curation oracle (engine ≡ this model is already pinned by
+    // the q09-equality tests under the same config)
+    val curCfg = graft.queries.CrawlOps.crawlConfigFor(
+      spark.sessionState.conf.numShufflePartitions, smoke)
+    val curRes = new CrawlOracle(CorpusGen.build(smoke), curCfg).run()
+    curRes.log.map(f => FetchRow(f.seq, f.urlCanon, f.host, f.depth,
+        f.round, f.fetchTs, f.status, f.docId))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/q60_fetch.parquet")
+
     val emb = loadEmbeddings(spark, sfDir)
     cosineTopK(emb).toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/q28_cosine_topk.parquet")

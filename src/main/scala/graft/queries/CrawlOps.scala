@@ -53,6 +53,14 @@ object CrawlOps {
       skinnySchedule = sys.env.contains("GRAFT_CRAWL_SKINNY"))
   }
 
+  /** Span-order-preserving packed text (newline-joined text spans in
+    * span order — the [PINNED] per-row invariant), shared by q53 and
+    * the q60 crawl-curation pipeline. */
+  private def packedTextCol =
+    array_join(
+      transform(filter(col("spans"), x => x.getField("kind") === "text"),
+        x => x.getField("text")), "\n")
+
   val queries: Map[String, Q] = Map(
 
     // S1/P1/S4: interleaved scan + ordered span projection (nested pruning)
@@ -212,6 +220,53 @@ object CrawlOps {
         .orderBy("seq")
     }),
 
+    // THE product path, end-to-end (q60): the crawl's OWN fetch log →
+    // span-order packing (q53's packedTextCol) → MinHash+LSH near-dup
+    // removal (TextOps.lshNearDupPairs + the q46/q47 components loop) →
+    // model language-ID (the q58 NB kernel) → deterministic mixture
+    // sample (the q49 rule). Every stage is single-sourced with its
+    // standalone query; the input is what the engine itself fetched
+    // (status ok), not the documents fixture. Smoke tier + golden
+    // sequential fetch set, same wiring rationale as q37/q51 (no
+    // second bench-tier crawl per run).
+    "q60_crawl_curation" -> ((s, dir) => {
+      val tier = CorpusGen.Smoke
+      val d = CorpusGen.ensure(s, tier)
+      val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
+      val engine = new CrawlEngine(s, d, s"target/crawl-run-cur/${tier.name}", cfg)
+      engine.runFresh()
+      engine.close()
+      val okDocs = engine.fetchLog()
+        .filter(col("status") === "ok" && col("doc_id") =!= "")
+        .select("doc_id").distinct()
+      val packed = CorpusGen.interleaved(s, d)
+        .join(okDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), packedTextCol.as("text"))
+      val pairs = TextOps.lshNearDupPairs(packed) // persisted; ours to release
+      val compsOpt =
+        if (pairs.count() == 0) None // components refuse an empty edge set
+        else Some(GraphOps.hostComponents(
+          pairs.select(col("doc_a").as("src_host"), col("doc_b").as("dst_host"))))
+      val survivors = compsOpt match {
+        case None => packed
+        case Some(comps) =>
+          val drops = comps.filter(col("host") =!= col("component"))
+            .select(col("host").as("doc_id"))
+          packed.join(drops, Seq("doc_id"), "left_anti")
+      }
+      val langed = survivors
+        .select(col("doc_id"),
+          graft.functions.nb_lang_scores(TextOps.words(col("text"))).as("sc"))
+        .select(col("doc_id"),
+          TextOps.nbArgmax(element_at(col("sc"), 1), element_at(col("sc"), 2),
+            element_at(col("sc"), 3), element_at(col("sc"), 4)).as("lang"))
+      val out = TextOps.mixtureSample(langed).persist()
+      out.count()
+      compsOpt.foreach(_.unpersist(false))
+      pairs.unpersist(false)
+      out
+    }),
+
     // corpus packing / training-set export: materialize each fetchable
     // (status ok) document as one training row — text spans joined in
     // span order, media refs preserved as an ordered sidecar column,
@@ -224,9 +279,7 @@ object CrawlOps {
     // 100 TB.
     "q53_pack_corpus" -> ((s, dir) => {
       val d = fx(s, dir)
-      val textCol = array_join(
-        transform(filter(col("spans"), x => x.getField("kind") === "text"),
-          x => x.getField("text")), "\n")
+      val textCol = packedTextCol
       val mediaArr = filter(col("spans"),
         x => x.getField("kind") =!= "text" && x.getField("media_ref") =!= "")
       val okDocs = CorpusGen.hosting(s, d)
@@ -399,6 +452,39 @@ object CrawlOps {
       s"""SELECT seq, url_canon, host, depth, round, fetch_ts, status, doc_id
          |FROM read_parquet('$GOLD/q51_priority_crawl.parquet/*.parquet')
          |ORDER BY seq""".stripMargin,
+
+    // q60: fetch set = the golden sequential crawl (default config,
+    // smoke tier); every downstream stage re-derived in SQL from the
+    // single-sourced mirrors (lshPairsSqlFor / the q47 closure /
+    // nbLangPredCteFor / mixtureSampleSql) over the smoke fixtures
+    "q60_crawl_curation" -> {
+      val FXS = CorpusGen.dirFor(CorpusGen.Smoke)
+      val packedSrc =
+        s"""SELECT sp.doc_id,
+           |  array_to_string(list_transform(list_filter(sp.spans, x -> x.kind = 'text'),
+           |    x -> x.text), chr(10)) AS text
+           |FROM read_parquet('$FXS/interleaved.parquet/*.parquet') sp
+           |JOIN (SELECT DISTINCT doc_id
+           |      FROM read_parquet('$GOLD/q60_fetch.parquet/*.parquet')
+           |      WHERE status = 'ok' AND doc_id <> '') ok USING (doc_id)""".stripMargin
+      s"""WITH RECURSIVE p AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM (${TextOps.lshPairsSqlFor(packedSrc)})),
+         |und AS MATERIALIZED (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM p),
+         |r(d, label) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT u.b, r.label FROM r JOIN und u ON u.a = r.d),
+         |comp AS (SELECT d AS doc_id, MIN(label) AS cluster FROM r GROUP BY d),
+         |drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster),
+         |surv AS (SELECT doc_id, text FROM ($packedSrc)
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |${TextOps.nbLangPredCteFor("SELECT doc_id, text FROM surv")},
+         |langed AS (SELECT s.doc_id, lp.lang FROM surv s JOIN lp USING (doc_id))
+         |${TextOps.mixtureSampleSql("SELECT doc_id, lang FROM langed")}""".stripMargin
+    },
 
     "q53_pack_corpus" ->
       s"""WITH RECURSIVE sp AS (SELECT doc_id, spans

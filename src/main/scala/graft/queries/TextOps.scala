@@ -22,8 +22,16 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def words(c: Column): Column =
+  private[graft] def words(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** The pinned NB argmax (first max wins in en, de, es, fr order) —
+    * single-sourced between q58 and the q60 crawl-curation pipeline. */
+  private[graft] def nbArgmax(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
 
   /** documents ∪ exact dups ∪ near dups (deterministic, mirrored in SQL). */
   private def docsAugmented(s: SparkSession, dir: String): DataFrame = {
@@ -126,6 +134,58 @@ object TextOps {
   private def withMinhashSigs(df: DataFrame, text: Column, k: Int, out: String): DataFrame =
     df.withColumn(out, graft.functions.minhash_sigs(words(text), k))
 
+  /** MinHash+LSH near-dup pairs over ANY (doc_id, text) frame — the
+    * q25 pipeline, single-sourced between q25 (augmented documents) and
+    * the q60 crawl-curation pipeline (the crawl's own packed corpus;
+    * doc_id type is generic — long there, string here). 4 bands × 2
+    * rows, band buckets larger than BUCKET_CAP dropped before the
+    * self-join [PINNED — an adversarial corpus of near-identical docs
+    * would otherwise make the bucket join quadratic in the largest
+    * bucket; the same cap is applied in the oracle SQL], candidates
+    * confirmed by word-set Jaccard ≥ 0.5. Returns a PERSISTED frame —
+    * ownership transfers to the caller. */
+  private[graft] def lshNearDupPairs(base: DataFrame): DataFrame = {
+    val BUCKET_CAP = 64
+    val ws = words(col("text"))
+    val sigged = withMinhashSigs(base, col("text"), 8, "sigs")
+      .select(col("doc_id"), array_distinct(ws).as("wset"), col("sigs")).persist()
+    sigged.count() // materialize before the fan-out
+    val banded = sigged.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        md5(concat(element_at(col("sigs"), b * 2 + 1).cast("string"), lit("_"),
+          element_at(col("sigs"), b * 2 + 2).cast("string")))))
+        .as(Seq("band_id", "band_key")))
+    // mega-bucket cap: hot buckets are few — broadcast anti-join them out
+    val hot = banded.groupBy("band_id", "band_key").count()
+      .filter(col("count") > BUCKET_CAP).select("band_id", "band_key")
+    val pruned = banded.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
+    val a = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    // candidate pairs on ids only (cheap distinct), word sets joined back
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val wa = sigged.select(col("doc_id").as("doc_a"), col("wset").as("wset_a"))
+    val wb = sigged.select(col("doc_id").as("doc_b"), col("wset").as("wset_b"))
+    val out = pairs.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
+          size(array_union(col("wset_a"), col("wset_b"))), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+      // materialize the (small) verified-pairs result while the
+      // signature cache is hot, then release the INTERNAL cache — the
+      // round-3 form returned with `sigged` still persisted, leaking
+      // one cached table per standalone call (review finding). The
+      // returned frame stays persisted; ownership transfers to the
+      // caller (Bench/Verify/QueriesSpec unpersist after consuming).
+      .persist()
+    out.count()
+    sigged.unpersist(false)
+    out
+  }
+
   /** The pre-round-4 staged-HOF signature pipeline, kept ONLY as the
     * independent oracle for the codegen kernel's equality test. Staged
     * as several small projections on purpose: the md5/conv subtree
@@ -173,7 +233,7 @@ object TextOps {
     * keep rates: en 9, de/fr/es 6, zh 3, anything else 2; membership =
     * integer compare u₅₆·10 < num·2⁵⁶ on the first 56 md5 bits of
     * "mix42_"‖doc_id (no float boundary); weight = 1/rate. */
-  private def mixtureSample(docs: DataFrame): DataFrame = {
+  private[graft] def mixtureSample(docs: DataFrame): DataFrame = {
     val u56 = conv(substring(
       md5(concat(lit("mix42_"), col("doc_id").cast("string"))), 1, 14), 16, 10)
       .cast("long")
@@ -191,7 +251,7 @@ object TextOps {
 
   /** The q49 sampling rule's SQL mirror over a source providing
     * (doc_id, lang) — parameterized by the source subquery. */
-  private def mixtureSampleSql(source: String): String =
+  private[graft] def mixtureSampleSql(source: String): String =
     s"""SELECT doc_id, lang, round(10.0 / num, 4) AS weight FROM (
        |  SELECT doc_id, lang,
        |    CAST('0x' || substr(md5('mix42_' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS u,
@@ -280,10 +340,7 @@ object TextOps {
           score(Seq("el", "la", "que", "los")).as("s_es"),
           score(Seq("le", "les", "des", "est")).as("s_fr"))
         .withColumn("lang_pred",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+          nbArgmax(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
         .orderBy("doc_id")
     }),
 
@@ -308,10 +365,7 @@ object TextOps {
           element_at(col("sc"), 3).as("s_es"),
           element_at(col("sc"), 4).as("s_fr"))
         .withColumn("lang_pred",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+          nbArgmax(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
         .orderBy("doc_id")
     }),
 
@@ -340,48 +394,7 @@ object TextOps {
     // are dropped before the self-join [PINNED — an adversarial corpus of
     // near-identical docs would otherwise make the bucket join quadratic
     // in the largest bucket; the same cap is applied in the oracle SQL].
-    "q25_lsh_pairs" -> ((s, dir) => {
-      val BUCKET_CAP = 64
-      val base = docsAugmented(s, dir)
-      val ws = words(col("text"))
-      val sigged = withMinhashSigs(base, col("text"), 8, "sigs")
-        .select(col("doc_id"), array_distinct(ws).as("wset"), col("sigs")).persist()
-      sigged.count() // materialize before the fan-out
-      val banded = sigged.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          md5(concat(element_at(col("sigs"), b * 2 + 1).cast("string"), lit("_"),
-            element_at(col("sigs"), b * 2 + 2).cast("string")))))
-          .as(Seq("band_id", "band_key")))
-      // mega-bucket cap: hot buckets are few — broadcast anti-join them out
-      val hot = banded.groupBy("band_id", "band_key").count()
-        .filter(col("count") > BUCKET_CAP).select("band_id", "band_key")
-      val pruned = banded.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
-      val a = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      val b = pruned.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-      // candidate pairs on ids only (cheap distinct), word sets joined back
-      val pairs = a.join(b, Seq("band_id", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val wa = sigged.select(col("doc_id").as("doc_a"), col("wset").as("wset_a"))
-      val wb = sigged.select(col("doc_id").as("doc_b"), col("wset").as("wset_b"))
-      val out = pairs.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
-        .withColumn("jaccard", round(
-          size(array_intersect(col("wset_a"), col("wset_b"))).cast("double") /
-            size(array_union(col("wset_a"), col("wset_b"))), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-        // materialize the (small) verified-pairs result while the
-        // signature cache is hot, then release the INTERNAL cache — the
-        // round-3 form returned with `sigged` still persisted, leaking
-        // one cached table per standalone call (review finding). The
-        // returned frame stays persisted; ownership transfers to the
-        // caller (Bench/Verify/QueriesSpec unpersist after consuming).
-        .persist()
-      out.count()
-      sigged.unpersist(false)
-      out
-    }),
+    "q25_lsh_pairs" -> ((s, dir) => lshNearDupPairs(docsAugmented(s, dir))),
 
     // SimHash (32-bit, md5-derived word hashes, multiset weighting) —
     // round 4: one codegen pass per document (TextRT.simhash32). The
@@ -649,8 +662,36 @@ object TextOps {
   /** q25's oracle SQL, shared verbatim with q47 (which closes over the
     * verified pair graph): one source, so the pair semantics cannot
     * drift between the pair query and the cluster query. */
-  private lazy val q25PairsSql: String =
-    shinglesSqlCte.format(docsAugmentedSql) +
+  /** DuckDB mirror of [[nbArgmax]] + the NB scoring over a
+    * (doc_id, text) source — CTE chain ending in `lp(doc_id, lang)`
+    * (the predicted language). Same committed model TSV as the kernel;
+    * explode+join shape on purpose (oracle independence). */
+  private[graft] def nbLangPredCteFor(src: String): String =
+    s"""nbmodel AS (SELECT feature, m_en, m_de, m_es, m_fr
+       |  FROM read_csv('$LangModelPath', delim='\t', header=true,
+       |       columns={'feature':'VARCHAR','m_en':'BIGINT','m_de':'BIGINT','m_es':'BIGINT','m_fr':'BIGINT'})),
+       |nboov AS (SELECT m_en AS o_en, m_de AS o_de, m_es AS o_es, m_fr AS o_fr
+       |  FROM nbmodel WHERE feature = '<oov>'),
+       |nbwd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM ($src)),
+       |nbft AS (SELECT doc_id, unnest(list_transform(range(1, length('^' || w || '$$')),
+       |    i -> substr('^' || w || '$$', CAST(i AS INT), 2))) AS feat FROM nbwd),
+       |nbsc AS (SELECT f.doc_id,
+       |    CAST(SUM(COALESCE(m.m_en, o.o_en)) AS BIGINT) AS s_en,
+       |    CAST(SUM(COALESCE(m.m_de, o.o_de)) AS BIGINT) AS s_de,
+       |    CAST(SUM(COALESCE(m.m_es, o.o_es)) AS BIGINT) AS s_es,
+       |    CAST(SUM(COALESCE(m.m_fr, o.o_fr)) AS BIGINT) AS s_fr
+       |  FROM nbft f LEFT JOIN nbmodel m ON m.feature = f.feat CROSS JOIN nboov o
+       |  GROUP BY f.doc_id),
+       |lp AS (SELECT doc_id,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang FROM nbsc)""".stripMargin
+
+  /** The q25 pair pipeline's SQL mirror over ANY (doc_id, text) source
+    * — single-sourced between q25/q47/q56 (augmented documents) and
+    * q60 (the crawl's packed corpus). */
+  private[graft] def lshPairsSqlFor(pairsSrc: String): String =
+    shinglesSqlCte.format(pairsSrc) +
       s""",
         |sig AS (SELECT doc_id, ${minhashSigsSql(8)} AS sigs FROM sh),
         |wsets AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wset
@@ -670,7 +711,9 @@ object TextOps {
         |FROM pairs JOIN wsets wa ON wa.doc_id = doc_a JOIN wsets wb ON wb.doc_id = doc_b
         |WHERE round(len(list_intersect(wa.wset, wb.wset)) * 1.0
         |       / len(list_distinct(wa.wset || wb.wset)), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin.format(docsAugmentedSql)
+        |ORDER BY doc_a, doc_b""".stripMargin.format(pairsSrc)
+
+  private lazy val q25PairsSql: String = lshPairsSqlFor(docsAugmentedSql)
 
   val oracle: Map[String, String] = Map(
     "q20_tokens" ->

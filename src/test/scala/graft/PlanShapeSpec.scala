@@ -233,7 +233,8 @@ class PlanShapeSpec extends SparkTestBase {
     // joins/aggregates.
     val excepted = Set("q09_crawl", "q46_host_components", "q47_dedup_clusters",
       "q56_curated_sample", // composes q47's cluster output (same RDD leaf)
-      "q42_host_distance")  // round 5: BFS-to-exhaustion rides RddLoop too
+      "q42_host_distance",  // round 5: BFS-to-exhaustion rides RddLoop too
+      "q60_crawl_curation") // round 5: crawl + components stages inside
     val offenders = SparkEntry.queries.keys.filterNot(excepted).filter { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
       p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")
