@@ -280,6 +280,63 @@ object CorpusGen {
 
   def ensureFor(spark: SparkSession, sfDir: String): String = ensure(spark, tierFor(sfDir))
 
+  // ---- media-byte sidecar (q61) ---------------------------------------
+
+  /** Version marker for the binary sidecar fixtures. */
+  val MediaGenVersion = "v1"
+
+  def mediaDirFor(tier: Tier): String = s"${dirFor(tier)}/media-$MediaGenVersion"
+
+  private def md5hexStr(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** The [PINNED] file bytes for one media asset — a pure function of
+    * its media_ref, printable ASCII by construction so the DuckDB
+    * oracle can derive the same features via decode(content):
+    * `GFTMv1 WWWW HHHH\n` + 128 hex chars of md5-chained payload +
+    * `\n`. Width/height live in the BYTES (cols 8-11 / 13-16); the
+    * q61 features are read from the file, not from the ref string. */
+  def mediaBytes(ref: String): Array[Byte] = {
+    val h = md5hexStr(ref)
+    val width = 64 + Integer.parseInt(h.substring(0, 2), 16) % 16
+    val height = 64 + Integer.parseInt(h.substring(2, 4), 16) % 16
+    val p1 = md5hexStr(h); val p2 = md5hexStr(p1); val p3 = md5hexStr(p2)
+    (f"GFTMv1 $width%04d $height%04d\n" + h + p1 + p2 + p3 + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Generate one binary file per distinct media asset of the tier
+    * (filename = md5(media_ref).gft — both engines join the bytes back
+    * to the spans through that digest). Pure function of the tier: the
+    * refs are enumerated with the same per-index docSpans the corpus
+    * itself is built from; no Spark needed. */
+  def ensureMedia(tier: Tier): String = {
+    val dir = mediaDirFor(tier)
+    val marker = Paths.get(dir, "_DONE")
+    def fresh = Files.exists(marker) && Files.readString(marker) == MediaGenVersion
+    if (fresh) return dir
+    synchronized {
+      if (fresh) return dir
+      val d = Paths.get(dir)
+      Files.createDirectories(d)
+      val seen = mutable.HashSet.empty[String]
+      var i = 0
+      while (i < tier.docs) {
+        docSpans(tier, i).foreach { sp =>
+          if (sp.kind != "text" && sp.media_ref.nonEmpty && seen.add(sp.media_ref))
+            Files.write(d.resolve(md5hexStr(sp.media_ref) + ".gft"), mediaBytes(sp.media_ref))
+        }
+        i += 1
+      }
+      Files.writeString(marker, MediaGenVersion)
+    }
+    dir
+  }
+
   private def write(spark: SparkSession, tier: Tier, dir: String): Unit = {
     import spark.implicits._
     val pq = SaveMode.Overwrite

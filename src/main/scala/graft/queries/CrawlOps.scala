@@ -314,9 +314,44 @@ object CrawlOps {
         .orderBy("host", "kind")
     }),
 
+    // real-bytes media features (q61): every media asset exists as an
+    // actual binary file (CorpusGen.ensureMedia — deterministic seeded
+    // bytes with the dimensions IN the bytes), read through Spark's
+    // binaryFile source and joined back to the span inventory via the
+    // ref digest in the filename. Features (width, height, size,
+    // content digest) are derived from the FILE CONTENT — unlike q30's
+    // labeled ref-string stand-in — and the DuckDB oracle re-derives
+    // them from the same files via read_blob/decode. Smoke tier
+    // (q37/q51 rationale: bounded file count per Bench run); at scale
+    // this path is a plain file-source scan + one equi-join, and the
+    // decode column feeds the same mapInPandas-shaped batch surface.
+    "q61_media_bytes" -> ((s, dir) => {
+      val tier = CorpusGen.Smoke
+      val d = CorpusGen.ensure(s, tier)
+      val mediaDir = CorpusGen.ensureMedia(tier)
+      val bin = s.read.format("binaryFile").load(s"$mediaDir/*.gft")
+        .select(regexp_extract(col("path"), "([0-9a-f]{32})\\.gft$", 1).as("ref_md5"),
+          col("length").as("n_bytes"), col("content"))
+      val refs = CorpusGen.interleaved(s, d)
+        .select(explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") =!= "text" && col("sp.media_ref") =!= "")
+        .groupBy(col("sp.media_ref").as("media_ref"), col("sp.kind").as("kind"))
+        .agg(count(lit(1)).as("n_refs"))
+      refs.withColumn("ref_md5", md5(col("media_ref")))
+        .join(bin, Seq("ref_md5"))
+        .withColumn("txt", col("content").cast("string"))
+        .select(col("media_ref"), col("kind"), col("n_refs"),
+          substring(col("txt"), 8, 4).cast("int").as("width"),
+          substring(col("txt"), 13, 4).cast("int").as("height"),
+          col("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("media_ref", "kind")
+    }),
+
     // multimodal plumbing: media spans → deterministic stub decode
     // (image/audio libs absent — the decode is a PINNED fake; schema,
-    // partitioning and batch shape are real)
+    // partitioning and batch shape are real). Superseded for feature
+    // fidelity by q61 (real bytes); kept as the batch-shape surface.
     "q30_multimodal" -> ((s, dir) => {
       CorpusGen.interleaved(s, fx(s, dir))
         .select(col("doc_id"), posexplode(col("spans")))
@@ -507,6 +542,32 @@ object CrawlOps {
          |  p.n_media, p.media_refs
          |FROM pok p JOIN bpe b USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+
+    // q61: same files, independent readers — Spark binaryFile vs DuckDB
+    // read_blob; decode(content) is the raw bytes (CAST(BLOB AS
+    // VARCHAR) would hash the ESCAPED form)
+    "q61_media_bytes" -> {
+      val FXS = CorpusGen.dirFor(CorpusGen.Smoke)
+      val MD = CorpusGen.mediaDirFor(CorpusGen.Smoke)
+      s"""WITH refs AS (
+         |  SELECT media_ref, kind, CAST(COUNT(*) AS BIGINT) AS n_refs
+         |  FROM (SELECT unnest(spans, recursive := true)
+         |        FROM read_parquet('$FXS/interleaved.parquet/*.parquet'))
+         |  WHERE kind <> 'text' AND media_ref <> ''
+         |  GROUP BY 1, 2),
+         |bin AS (
+         |  SELECT regexp_extract(filename, '([0-9a-f]{32})\\.gft$$', 1) AS ref_md5,
+         |    CAST(size AS BIGINT) AS n_bytes,
+         |    decode(content) AS txt
+         |  FROM read_blob('$MD/*.gft'))
+         |SELECT r.media_ref, r.kind, r.n_refs,
+         |  CAST(substr(b.txt, 8, 4) AS INT) AS width,
+         |  CAST(substr(b.txt, 13, 4) AS INT) AS height,
+         |  b.n_bytes,
+         |  md5(b.txt) AS content_md5
+         |FROM refs r JOIN bin b ON b.ref_md5 = md5(r.media_ref)
+         |ORDER BY r.media_ref, r.kind""".stripMargin
+    },
 
     "q38_media_refs" ->
       // hostOf stops at '/', ':' or '?' after the scheme — corpus media
