@@ -489,28 +489,35 @@ object GraphOps {
           .select(col("v").as("u"), col("m").as("v"))
           .union(mS.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v")).distinct())
-        val c2 = e2.count()
-        // converged iff the edge set is a TRUE star forest. Two
-        // violations must both be absent, checked in one aggregation
-        // job over node roles:
+        // ONE job per round both materializes e2's cached RDD (both
+        // union branches scan the same blocks) and decides convergence.
+        // Converged iff the edge set is a TRUE star forest — two
+        // violation classes must both be absent:
         //  (1) a center (v, the smaller endpoint) that is itself a
         //      satellite (u) elsewhere — chains;
-        //  (2) a satellite pointing at TWO distinct centers — the
+        //  (2) a satellite appearing in TWO rows (= two distinct
+        //      centers, since e2 rows are .distinct()'d) — the
         //      center-only check alone misses this: on the path
         //      a-e, e-g, g-i, b-i (a<b<e<g<i) one round yields
         //      {(e,a),(g,a),(e,b),(i,b)} with zero center-satellites
-        //      but one component split across labels a and b.
+        //      but one component split across labels a and b
+        //      [round-5 review fix].
+        // Per node: nu = rows as satellite, nr = all rows; violation
+        // iff nu > 1 (class 2) or nu >= 1 and nr > nu (also a center —
+        // class 1). Σnu = |e2| gives the edge count in the same pass.
         // Star graphs are fixpoints of both phases, so stopping at
         // zero violations is stopping at the true fixpoint.
-        val vType = e2.schema("v").dataType
-        val nonStar = e2.select(col("u").as("n"), col("v").as("ctr"))
-          .union(e2.select(col("v").as("n"),
-            lit(null).cast(vType).as("ctr")))
+        val chk = e2.select(col("u").as("n"), lit(1L).as("su"))
+          .union(e2.select(col("v").as("n"), lit(0L).as("su")))
           .groupBy("n")
-          .agg(countDistinct(col("ctr")).as("nc"),
-            max(when(col("ctr").isNull, 1).otherwise(0)).as("isCtr"))
-          .filter(col("nc") > 1 or (col("nc") >= 1 and col("isCtr") === 1))
-          .count()
+          .agg(sum(col("su")).as("nu"), count(lit(1)).as("nr"))
+          .agg(coalesce(sum(col("nu")), lit(0L)).as("edges"),
+            coalesce(sum(when(col("nu") > 1 or
+                (col("nu") >= 1 and col("nr") > col("nu")), 1L)
+              .otherwise(0L)), lit(0L)).as("bad"))
+          .head()
+        val c2 = chk.getLong(0)
+        val nonStar = chk.getLong(1)
         stars = nonStar == 0L
         e = e2
         eCnt = c2
