@@ -132,37 +132,8 @@ object GraphOps {
         .persist()
       val seedHosts = CorpusGen.seeds(s, d)
         .select(host_of(col("url_canon")).as("host")).distinct()
-      val loop = new RddLoop(s)
-      try {
-        var dist = loop.truncate(seedHosts.withColumn("dist", lit(0)))
-        var frontier = dist.select("host")
-        var hop = 0
-        var done = false
-        while (!done) {
-          hop += 1
-          if (hop > BfsBackstop) throw new IllegalStateException(
-            s"q42: BFS frontier not exhausted after $BfsBackstop levels — " +
-              "runaway loop (a finite graph exhausts in <= |hosts| levels)")
-          val next = loop.truncate(frontier
-            .join(edges, frontier("host") === edges("src_host"))
-            .select(col("dst_host").as("host")).distinct()
-            .join(dist, Seq("host"), "left_anti")
-            .withColumn("dist", ref_int(hop)))
-          if (next.count() == 0) done = true // no retire: dist's blocks stay hot for `out`
-          else {
-            dist = loop.truncate(dist.unionByName(next))
-            dist.count() // materialize before the inputs retire
-            frontier = next.select("host")
-            loop.retireRound()
-          }
-        }
-        val out = dist.select("host", "dist").orderBy("host").persist()
-        out.count() // materialize before releasing the loop blocks
-        out
-      } finally {
-        loop.releaseAll()
-        edges.unpersist(false)
-      }
+      try bfsDistances(edges, seedHosts)
+      finally edges.unpersist(false)
     }),
 
     // PageRank over the weighted host edge list (G3) — ranks rounded to
@@ -205,6 +176,45 @@ object GraphOps {
       out
     }),
   )
+
+  /** Distributed BFS hop distance from `seeds` over a DIRECTED
+    * (src_host, dst_host) edge frame, to frontier exhaustion (q42's
+    * loop, factored for direct testing — BfsSpec pins a >10-hop path
+    * against the former silent MaxHops=10 truncation). `seeds` must be
+    * a (host) frame; `edges` should be persisted by the caller.
+    * Returns (host, dist) for every REACHABLE host, persisted —
+    * ownership transfers to the caller. */
+  private[graft] def bfsDistances(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val loop = new RddLoop(spark)
+    try {
+      var dist = loop.truncate(seeds.select(col("host")).withColumn("dist", lit(0)))
+      var frontier = dist.select("host")
+      var hop = 0
+      var done = false
+      while (!done) {
+        hop += 1
+        if (hop > BfsBackstop) throw new IllegalStateException(
+          s"bfsDistances: frontier not exhausted after $BfsBackstop levels — " +
+            "runaway loop (a finite graph exhausts in <= |hosts| levels)")
+        val next = loop.truncate(frontier
+          .join(edges, frontier("host") === edges("src_host"))
+          .select(col("dst_host").as("host")).distinct()
+          .join(dist, Seq("host"), "left_anti")
+          .withColumn("dist", ref_int(hop)))
+        if (next.count() == 0) done = true // no retire: dist's blocks stay hot for `out`
+        else {
+          dist = loop.truncate(dist.unionByName(next))
+          dist.count() // materialize before the inputs retire
+          frontier = next.select("host")
+          loop.retireRound()
+        }
+      }
+      val out = dist.select("host", "dist").orderBy("host").persist()
+      out.count() // materialize before releasing the loop blocks
+      out
+    } finally loop.releaseAll()
+  }
 
   /** PageRank over a host edge list — the classic crawl-prioritization
     * signal (what a production frontier weights `priority` by). Damping
