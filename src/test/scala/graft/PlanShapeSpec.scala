@@ -235,10 +235,31 @@ class PlanShapeSpec extends SparkTestBase {
       "q56_curated_sample", // composes q47's cluster output (same RDD leaf)
       "q42_host_distance",  // round 5: BFS-to-exhaustion rides RddLoop too
       "q60_crawl_curation") // round 5: crawl + components stages inside
-    val offenders = SparkEntry.queries.keys.filterNot(excepted).filter { name =>
-      val p = plan(SparkEntry.queries(name)(spark, dir))
-      p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")
+    // Same sweep, second property [round 5]: no unbounded-product join
+    // anywhere — a CartesianProduct or BroadcastNestedLoopJoin is
+    // O(left × right) and the one plan shape that CANNOT survive a
+    // 100× scale-up. Exceptions, each bounded by construction:
+    //  - q28: THE documented exact baseline (BNLJ over a capped query
+    //    set — bruteForceTopK refuses > BruteForceMaxQueries);
+    //  - q32: a cross against a broadcast ONE-ROW aggregate (the
+    //    global-threshold scalar) — O(n·1).
+    val productExcepted = Set("q28_cosine_topk", "q32_hot_hosts")
+    val plans = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val df = fn(spark, dir)
+      val p = plan(df)
+      df.unpersist(false)
+      name -> p
+    }
+    val offenders = plans.collect {
+      case (name, p) if !excepted(name) &&
+        (p.contains("Scan ExistingRDD") || p.contains("ExternalRDD")) => name
     }
     assert(offenders.isEmpty, offenders.toString)
+    val productOffenders = plans.collect {
+      case (name, p) if !productExcepted(name) &&
+        (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) => name
+    }
+    assert(productOffenders.isEmpty,
+      s"unbounded-product joins in: $productOffenders")
   }
 }
