@@ -369,6 +369,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // composed quality-filter endpoint (q62): the Gopher-style document
+    // filter a curation pipeline actually applies — every signal comes
+    // from the SAME single-sourced queries the driver gates standalone
+    // (q48 repetition/diversity incl. its doubled-text rows, q21 stop
+    // ratio, q54 word-frequency score; the doubled +3e6 rows take their
+    // base doc's ratios, exact because both are invariant to text
+    // doubling), combined by a pinned first-failing-rule CASE. All
+    // thresholds operate on round(...,4) values both engines share
+    // exactly, so the boolean split is deterministic cross-engine.
+    // Rules [PINNED, in order]: n_words < 16 too_short; dup5_frac > 0.20
+    // repetitive; uniq_ratio < 0.30 low_diversity; stop_ratio > 0.12
+    // boilerplate; logfreq4 < 2.9 rare_words; else ok.
+    "q62_quality_filter" -> ((s, dir) => {
+      val rep = queries("q48_repetition")(s, dir)
+        .select(col("doc_id"), col("n_words"), col("uniq_ratio"), col("dup5_frac"))
+      val qual = queries("q21_quality")(s, dir)
+        .select(col("doc_id").as("base_id"), col("stop_ratio"))
+      val freq = queries("q54_wordfreq_score")(s, dir)
+        .select(col("doc_id").as("base_id"), col("logfreq4"))
+      rep.withColumn("base_id", pmod(col("doc_id"), lit(3000000L)))
+        .join(qual, Seq("base_id")).join(freq, Seq("base_id"))
+        .withColumn("fail_rule",
+          when(col("n_words") < 16, "too_short")
+            .when(col("dup5_frac") > 0.20, "repetitive")
+            .when(col("uniq_ratio") < 0.30, "low_diversity")
+            .when(col("stop_ratio") > 0.12, "boilerplate")
+            .when(col("logfreq4") < 2.9, "rare_words")
+            .otherwise("ok"))
+        .withColumn("keep", col("fail_rule") === "ok")
+        .select("doc_id", "n_words", "fail_rule", "keep")
+        .orderBy("doc_id")
+    }),
+
     // exact dedup: hash-groupBy, first doc_id wins
     "q23_exact_dedup" -> ((s, dir) => {
       docsAugmented(s, dir)
@@ -715,6 +748,63 @@ object TextOps {
 
   private lazy val q25PairsSql: String = lshPairsSqlFor(docsAugmentedSql)
 
+  // oracle SQL shared verbatim with the composed q62 filter
+  private val q21QualitySql: String =
+      """SELECT doc_id, n_words, n_stop, stop_ratio,
+        | CASE WHEN n_words >= 20 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) AS INT) AS n_stop,
+        |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) * 1.0
+        |        / greatest(len(ws), 1), 4) AS stop_ratio
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents))
+        |ORDER BY doc_id""".stripMargin
+
+  private val q48RepetitionSql: String =
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
+        |    FROM documents WHERE doc_id % 13 = 0),
+        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM d),
+        |h2 AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 14) AS BIGINT))
+        |  ELSE [] END AS hs FROM w),
+        |h5 AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 14) AS BIGINT))
+        |  ELSE [] END AS hs FROM w),
+        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g2_n, CAST(MAX(c) AS BIGINT) AS g2_top,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g2_dup
+        |  FROM (SELECT doc_id, h, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h2) GROUP BY doc_id, h)
+        |  GROUP BY doc_id),
+        |a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g5_n,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g5_dup
+        |  FROM (SELECT doc_id, h, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h5) GROUP BY doc_id, h)
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+        |  round(len(list_distinct(w.ws)) * 1.0 / greatest(len(w.ws), 1), 4) AS uniq_ratio,
+        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
+        |       ELSE round(a2.g2_top * 1.0 / a2.g2_n, 4) END AS top2_frac,
+        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
+        |       ELSE round(a2.g2_dup * 1.0 / a2.g2_n, 4) END AS dup2_frac,
+        |  CASE WHEN COALESCE(a5.g5_n, 0) = 0 THEN 0.0
+        |       ELSE round(a5.g5_dup * 1.0 / a5.g5_n, 4) END AS dup5_frac
+        |FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  private val q54WordfreqSql: String =
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
+        |  round(CAST(SUM(CAST(log10(CAST(c AS DOUBLE)) AS DECIMAL(20,10))) AS DOUBLE)
+        |        / COUNT(*), 4) AS logfreq4
+        |FROM w JOIN vocab USING (w)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_tokens" ->
       s"""WITH RECURSIVE ${bpeCte("SELECT doc_id, text FROM documents")}
@@ -732,17 +822,7 @@ object TextOps {
          | array_to_string(b.ids, '|') AS bpe_ids
          |FROM dws d JOIN bpe b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
-    "q21_quality" ->
-      """SELECT doc_id, n_words, n_stop, stop_ratio,
-        | CASE WHEN n_words >= 20 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality
-        |FROM (
-        | SELECT doc_id,
-        |  CAST(len(ws) AS INT) AS n_words,
-        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) AS INT) AS n_stop,
-        |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','in'))) * 1.0
-        |        / greatest(len(ws), 1), 4) AS stop_ratio
-        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+    "q21_quality" -> q21QualitySql,
 
     "q22_langid" ->
       """SELECT doc_id, s_en, s_de, s_es, s_fr,
@@ -878,38 +958,7 @@ object TextOps {
 
     // q48: same 56-bit md5-window formula as q40's oracle, window sizes
     // 2 and 5, aggregated WITHIN each document
-    "q48_repetition" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
-        |    FROM documents WHERE doc_id % 13 = 0),
-        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-        |  FROM d),
-        |h2 AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
-        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 14) AS BIGINT))
-        |  ELSE [] END AS hs FROM w),
-        |h5 AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
-        |  i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 14) AS BIGINT))
-        |  ELSE [] END AS hs FROM w),
-        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g2_n, CAST(MAX(c) AS BIGINT) AS g2_top,
-        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g2_dup
-        |  FROM (SELECT doc_id, h, COUNT(*) AS c
-        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h2) GROUP BY doc_id, h)
-        |  GROUP BY doc_id),
-        |a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g5_n,
-        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS g5_dup
-        |  FROM (SELECT doc_id, h, COUNT(*) AS c
-        |        FROM (SELECT doc_id, unnest(hs) AS h FROM h5) GROUP BY doc_id, h)
-        |  GROUP BY doc_id)
-        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
-        |  round(len(list_distinct(w.ws)) * 1.0 / greatest(len(w.ws), 1), 4) AS uniq_ratio,
-        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
-        |       ELSE round(a2.g2_top * 1.0 / a2.g2_n, 4) END AS top2_frac,
-        |  CASE WHEN COALESCE(a2.g2_n, 0) = 0 THEN 0.0
-        |       ELSE round(a2.g2_dup * 1.0 / a2.g2_n, 4) END AS dup2_frac,
-        |  CASE WHEN COALESCE(a5.g5_n, 0) = 0 THEN 0.0
-        |       ELSE round(a5.g5_dup * 1.0 / a5.g5_n, 4) END AS dup5_frac
-        |FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q48_repetition" -> q48RepetitionSql,
 
     "q55_seq_packing" ->
       s"""WITH RECURSIVE ${bpeCte("SELECT doc_id, text FROM documents")},
@@ -926,16 +975,7 @@ object TextOps {
          |  CAST(start_tok % 1024 AS BIGINT) AS seq_off
          |FROM c ORDER BY doc_id""".stripMargin,
 
-    "q54_wordfreq_score" ->
-      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-        |  FROM documents),
-        |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
-        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scored,
-        |  round(CAST(SUM(CAST(log10(CAST(c AS DOUBLE)) AS DECIMAL(20,10))) AS DOUBLE)
-        |        / COUNT(*), 4) AS logfreq4
-        |FROM w JOIN vocab USING (w)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q54_wordfreq_score" -> q54WordfreqSql,
 
     "q52_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
@@ -955,6 +995,29 @@ object TextOps {
 
     "q49_mixture_sample" ->
       mixtureSampleSql("SELECT doc_id, lang FROM documents"),
+
+    // q62: the three signal queries' oracle SQL verbatim as CTEs (the
+    // same single-sourcing as the engine side), joined on the base doc
+    // id, then the pinned first-failing-rule CASE
+    "q62_quality_filter" ->
+      s"""WITH rep AS ($q48RepetitionSql),
+         |qual AS ($q21QualitySql),
+         |freq AS ($q54WordfreqSql),
+         |j AS (SELECT r.doc_id, r.n_words, r.uniq_ratio, r.dup5_frac,
+         |        q.stop_ratio, f.logfreq4
+         |      FROM rep r
+         |      JOIN qual q ON q.doc_id = r.doc_id % 3000000
+         |      JOIN freq f ON f.doc_id = r.doc_id % 3000000),
+         |ruled AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words < 16 THEN 'too_short'
+         |       WHEN dup5_frac > 0.20 THEN 'repetitive'
+         |       WHEN uniq_ratio < 0.30 THEN 'low_diversity'
+         |       WHEN stop_ratio > 0.12 THEN 'boilerplate'
+         |       WHEN logfreq4 < 2.9 THEN 'rare_words'
+         |       ELSE 'ok' END AS fail_rule
+         |  FROM j)
+         |SELECT doc_id, n_words, fail_rule, (fail_rule = 'ok') AS keep
+         |FROM ruled ORDER BY doc_id""".stripMargin,
 
     // q56: the composed curation endpoint — q47's cluster closure
     // (verbatim CTEs over the single-sourced q25 pair SQL) drops
