@@ -282,10 +282,16 @@ object CorpusGen {
 
   // ---- media-byte sidecar (q61) ---------------------------------------
 
-  /** Version marker for the binary sidecar fixtures. */
-  val MediaGenVersion = "v1"
+  /** Version marker for the binary sidecar fixtures. The path embeds
+    * BOTH the corpus GenVersion and this one (the derived-path rule at
+    * [[GenVersion]]): a corpus bump regenerates the media refs, so an
+    * unversioned media dir would silently keep serving files for the
+    * OLD corpus's refs — both engines read the same stale dir and the
+    * gate would stay green on a wrong, shrunken inventory. */
+  val MediaGenVersion = "v2"
 
-  def mediaDirFor(tier: Tier): String = s"${dirFor(tier)}/media-$MediaGenVersion"
+  def mediaDirFor(tier: Tier): String =
+    s"${dirFor(tier)}/media-$GenVersion-$MediaGenVersion"
 
   private def md5hexStr(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -326,9 +332,15 @@ object CorpusGen {
       val seen = mutable.HashSet.empty[String]
       var i = 0
       while (i < tier.docs) {
-        docSpans(tier, i).foreach { sp =>
-          if (sp.kind != "text" && sp.media_ref.nonEmpty && seen.add(sp.media_ref))
-            Files.write(d.resolve(md5hexStr(sp.media_ref) + ".gft"), mediaBytes(sp.media_ref))
+        // docSpans is only valid for status == "ok" pages (the same
+        // filter build() applies) — non-ok pages have no document, so
+        // writing their would-be refs would leave orphan files the
+        // corpus inventory disagrees with
+        if (pageMeta(tier, i).status == "ok") {
+          docSpans(tier, i).foreach { sp =>
+            if (sp.kind != "text" && sp.media_ref.nonEmpty && seen.add(sp.media_ref))
+              Files.write(d.resolve(md5hexStr(sp.media_ref) + ".gft"), mediaBytes(sp.media_ref))
+          }
         }
         i += 1
       }

@@ -234,37 +234,45 @@ object CrawlOps {
       val d = CorpusGen.ensure(s, tier)
       val cfg = crawlConfigFor(s.sessionState.conf.numShufflePartitions, tier)
       val engine = new CrawlEngine(s, d, s"target/crawl-run-cur/${tier.name}", cfg)
-      engine.runFresh()
-      engine.close()
-      val okDocs = engine.fetchLog()
-        .filter(col("status") === "ok" && col("doc_id") =!= "")
-        .select("doc_id").distinct()
-      val packed = CorpusGen.interleaved(s, d)
-        .join(okDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), packedTextCol.as("text"))
-      val pairs = TextOps.lshNearDupPairs(packed) // persisted; ours to release
-      val compsOpt =
-        if (pairs.count() == 0) None // components refuse an empty edge set
-        else Some(GraphOps.hostComponents(
-          pairs.select(col("doc_a").as("src_host"), col("doc_b").as("dst_host"))))
-      val survivors = compsOpt match {
-        case None => packed
-        case Some(comps) =>
-          val drops = comps.filter(col("host") =!= col("component"))
-            .select(col("host").as("doc_id"))
-          packed.join(drops, Seq("doc_id"), "left_anti")
+      try engine.runFresh()
+      finally engine.close()
+      // finally-scoped releases [round-5 review]: a failure anywhere
+      // mid-pipeline must not leak the persisted intermediates into the
+      // session (the cache-leak gate trips on the NEXT query otherwise)
+      var pairs: DataFrame = null
+      var compsOpt: Option[DataFrame] = None
+      try {
+        val okDocs = engine.fetchLog()
+          .filter(col("status") === "ok" && col("doc_id") =!= "")
+          .select("doc_id").distinct()
+        val packed = CorpusGen.interleaved(s, d)
+          .join(okDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), packedTextCol.as("text"))
+        pairs = TextOps.lshNearDupPairs(packed) // persisted; ours to release
+        compsOpt =
+          if (pairs.count() == 0) None // components refuse an empty edge set
+          else Some(GraphOps.hostComponents(
+            pairs.select(col("doc_a").as("src_host"), col("doc_b").as("dst_host"))))
+        val survivors = compsOpt match {
+          case None => packed
+          case Some(comps) =>
+            val drops = comps.filter(col("host") =!= col("component"))
+              .select(col("host").as("doc_id"))
+            packed.join(drops, Seq("doc_id"), "left_anti")
+        }
+        val langed = survivors
+          .select(col("doc_id"),
+            graft.functions.nb_lang_scores(TextOps.words(col("text"))).as("sc"))
+          .select(col("doc_id"),
+            TextOps.nbArgmax(element_at(col("sc"), 1), element_at(col("sc"), 2),
+              element_at(col("sc"), 3), element_at(col("sc"), 4)).as("lang"))
+        val out = TextOps.mixtureSample(langed).persist()
+        out.count() // materialize BEFORE the finally releases the inputs
+        out
+      } finally {
+        compsOpt.foreach(_.unpersist(false))
+        if (pairs != null) pairs.unpersist(false)
       }
-      val langed = survivors
-        .select(col("doc_id"),
-          graft.functions.nb_lang_scores(TextOps.words(col("text"))).as("sc"))
-        .select(col("doc_id"),
-          TextOps.nbArgmax(element_at(col("sc"), 1), element_at(col("sc"), 2),
-            element_at(col("sc"), 3), element_at(col("sc"), 4)).as("lang"))
-      val out = TextOps.mixtureSample(langed).persist()
-      out.count()
-      compsOpt.foreach(_.unpersist(false))
-      pairs.unpersist(false)
-      out
     }),
 
     // corpus packing / training-set export: materialize each fetchable

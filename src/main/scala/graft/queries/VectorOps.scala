@@ -63,11 +63,15 @@ object VectorOps {
   val BruteForceMaxQueries = 4096L
 
   /** Exact cosine top-k of `q` against `emb` — O(Q·N) by construction;
-    * refuses query sets larger than [[BruteForceMaxQueries]]. */
+    * refuses query sets larger than [[BruteForceMaxQueries]]. The guard
+    * counts through limit(cap+1), so it short-circuits at the cap
+    * instead of fully scanning the query frame a second time
+    * [round-5 review — the count() guard re-ran the whole query-side
+    * scan on every q28 call]. */
   private[graft] def bruteForceTopK(q: DataFrame, emb: DataFrame, k: Int): DataFrame = {
-    val nq = q.count()
-    require(nq <= BruteForceMaxQueries,
-      s"bruteForceTopK: $nq queries > cap $BruteForceMaxQueries — this " +
+    val probe = q.limit(BruteForceMaxQueries.toInt + 1).count()
+    require(probe <= BruteForceMaxQueries,
+      s"bruteForceTopK: > $BruteForceMaxQueries queries — this " +
         "exact baseline is O(queries x corpus) (BroadcastNestedLoopJoin); " +
         "use q29_ann_lsh or q35_ann_ivf for large query sets")
     val w = Window.partitionBy("query_id")
